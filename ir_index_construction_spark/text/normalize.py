@@ -1,0 +1,146 @@
+"""Normalization, tokenization, token validity, URL handling.
+
+Faithful to the reference semantics, with one deliberate asymmetry kept:
+index-time normalization replaces punctuation WITH A SPACE
+(indexer.py:187,214) while query-time normalization REMOVES it
+(searcher.py:183) — so ``don't`` indexes as ``don t`` but queries as
+``dont``.  Both the pure-Python oracle and the Spark engine import this
+module, which is what guarantees index/query agreement.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urlparse, urlunparse
+
+from .porter import make_cached_stemmer, stem
+
+# --- normalization ---------------------------------------------------------
+
+_NON_ALNUM = re.compile(r"[^a-zA-Z0-9\s]")
+_WS = re.compile(r"\s+")
+
+
+def index_normalize(text: str) -> str:
+    """indexer.py:187-188 / 214-215: punctuation -> space, collapse
+    whitespace, lowercase, strip."""
+    text = _NON_ALNUM.sub(" ", text)
+    text = _WS.sub(" ", text)
+    return text.lower().strip()
+
+
+def query_normalize(query: str) -> str:
+    """searcher.py:183: punctuation removed (NOT spaced); case kept —
+    boolean-mode detection needs the raw-case tokens."""
+    return re.sub(r"[^a-zA-Z0-9\s]", "", query)
+
+
+# --- token validity (indexer.py:109-124, applied to STEMMED tokens) --------
+
+_TOKEN_PREFIX_FILTERS = ("ensm", "ensg")
+_ALL_DIGITS = re.compile(r"^[0-9]+$")
+_SCI_STRIP = re.compile(r"[.\-eE/]")
+
+
+def is_valid_token(token: str) -> bool:
+    """Reject ensm*/ensg* prefixes; pure integers only if len<=4; tokens
+    that become integers after stripping [.\\-eE/] (e.g. 1e5) rejected.
+    Matches reference behavior: 2024 keep, 20245 drop, 1e5 drop, e5 drop,
+    ee keep, year2024 keep."""
+    if token.startswith(_TOKEN_PREFIX_FILTERS):
+        return False
+    if _ALL_DIGITS.match(token):
+        return len(token) <= 4
+    cleaned = _SCI_STRIP.sub("", token)
+    if cleaned and _ALL_DIGITS.match(cleaned):
+        return False
+    return True
+
+
+# --- tokenize + stem + filter (the O8-O11 fusion) ---------------------------
+
+
+def tokenize_stem_filter(normalized_text: str, stemmer=None) -> list:
+    """Whitespace-split the normalized text, stem each token, keep valid
+    ones. Stemming happens BEFORE validity filtering (indexer.py:193-194)."""
+    do_stem = stemmer if stemmer is not None else stem
+    out = []
+    for pre in normalized_text.split():
+        token = do_stem(pre)
+        if is_valid_token(token):
+            out.append(token)
+    return out
+
+
+def doc_term_stats(zones, stemmer=None) -> dict:
+    """Per-document (term -> [tf, imp]) over weighted zones, matching the
+    reference's two-pass accumulation (indexer.py:197-201, 224-228):
+    ``c`` += 1 per occurrence, ``s`` = max(weight, existing)."""
+    if stemmer is None:
+        stemmer = make_cached_stemmer()
+    acc: dict = {}
+    for zone_text, weight in zones:
+        for token in tokenize_stem_filter(index_normalize(zone_text), stemmer):
+            entry = acc.get(token)
+            if entry is None:
+                acc[token] = [1, weight]
+            else:
+                entry[0] += 1
+                if weight > entry[1]:
+                    entry[1] = weight
+    return acc
+
+
+# --- URLs (indexer.py:95-107, 126-150) --------------------------------------
+
+_EXT_BLACKLIST = re.compile(
+    r".*.(css|js|bmp|gif|jpe?g|ico|svg"
+    r"|png|tiff?|mid|mp2|mp3|mp4"
+    r"|wav|avi|mov|mpeg|ram|m4v|mkv|ogg|ogv|pdf"
+    r"|ps|eps|tex|ppt|pptx|doc|docx|xls|xlsx|names|xml"
+    r"|data|dat|exe|bz2|tar|msi|bin|7z|psd|dmg|iso"
+    r"|epub|dll|cnf|tgz|sha1|m|ma|nb|pd|sql"
+    r"|thmx|mso|arff|rtf|jar|csv|shtml|htm|txt"
+    r"|rm|smil|wmv|swf|wma|zip|rar|gz|war|img|mpg|apk"
+    r"|c|cc|py|ipynb|h|cp?p|pov|lif|ppsx|pps|patch)$"
+)
+
+# Kept verbatim from the reference (including the unescaped '.'): this
+# exact pattern is the compatibility contract for is_valid_url.
+EXT_BLACKLIST_PATTERN = _EXT_BLACKLIST.pattern
+
+
+def defrag_url(url: str) -> str:
+    """urlparse -> urlunparse with fragment dropped (indexer.py:95-107).
+    NOTE: urlunparse normalizes, so this is NOT equivalent to a regex
+    fragment strip — byte-identity requires going through urllib."""
+    p = urlparse(url)
+    return urlunparse((p.scheme, p.netloc, p.path, p.params, p.query, ""))
+
+
+def is_valid_url(url: str) -> bool:
+    """indexer.py:126-150: reject '...=txt' suffixes, non-http(s) schemes,
+    and the ~70-extension blacklist matched on the lowercased path."""
+    if url.split("=")[-1] == "txt":
+        return False
+    parsed = urlparse(url)
+    if parsed.scheme not in ("http", "https"):
+        return False
+    return not _EXT_BLACKLIST.match(parsed.path.lower())
+
+
+# --- query parsing (searcher.py:180-197) ------------------------------------
+
+
+def parse_query(query: str):
+    """Returns (terms, is_bool). Boolean mode iff uppercase 'AND' appears in
+    the punctuation-stripped, case-preserved split; in boolean mode the
+    stemmed token 'and' is removed from the term list (searcher.py:194-197).
+    In OR mode 'and' stays as a scored term — reference quirk preserved."""
+    split_text = query_normalize(query).split()
+    tokens = [stem(w.lower()) for w in split_text]
+    if not tokens:
+        return [], False
+    if "AND" in split_text:
+        return [t for t in tokens if t != "and"], True
+    return tokens, False
