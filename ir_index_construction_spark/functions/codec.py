@@ -1,0 +1,212 @@
+"""Posting-list compression codec: delta + varbyte blocks with block-max.
+
+Pure numpy, no Spark imports — unit-testable standalone and callable from
+the applyInPandas encoder/scorer.
+
+Layout
+------
+A term's postings (sorted by doc_id) are cut into BLOCKS of
+``block_size`` (default 128) postings, and blocks are grouped into CHUNK
+rows of up to ``chunk_blocks`` blocks (bounds parquet row size so a
+10^9-posting head term spans many rows, not one).
+
+Chunk payload (all little-endian):
+
+    uint32  n_blocks
+    uint32  g_ends[n_blocks]   cumulative byte ends of the gap stream
+    uint32  t_ends[n_blocks]                      ... tf stream
+    uint32  d_ends[n_blocks]                      ... dl stream
+    uint32  i_ends[n_blocks]                      ... imp stream
+    uint16  n_per_block[n_blocks]
+    gap_stream | tf_stream | dl_stream | imp_stream
+
+Gap stream: plain varbyte of np.diff(doc_ids) with the FIRST value
+absolute.  Because deltas are ordinary first differences, decoding block
+b standalone only needs the previous block's last doc_id, which lives in
+the chunk's ``block_last_doc`` column — no in-payload fixups.
+
+Block-max metadata: per block we store the BM25 term-frequency
+normalization upper bound  max(tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))).
+It is idf-free, so the encoder never needs the global document
+frequency; the query multiplies by idf(term) at run time and the product
+is an exact upper bound on any member posting's score (WAND safety).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U7 = np.uint64(7)
+_MASK = np.uint64(0x7F)
+
+
+def vb_encode(values: np.ndarray) -> tuple:
+    """Varbyte-encode a uint array. Returns (bytes, ends) where ends are
+    cumulative byte offsets after each value (for block slicing)."""
+    n = len(values)
+    if n == 0:
+        return b"", np.zeros(0, np.int64)
+    v = values.astype(np.uint64)
+    nb = np.ones(n, np.int64)
+    t = v >> _U7
+    while t.any():
+        nb += (t > 0)
+        t >>= _U7
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]), np.uint8)
+    rem = v.copy()
+    for i in range(int(nb.max())):
+        active = nb > i
+        byte = (rem[active] & _MASK).astype(np.uint8)
+        cont = (nb[active] > i + 1)
+        out[starts[active] + i] = byte | (cont.astype(np.uint8) << 7)
+        rem[active] >>= _U7
+    return out.tobytes(), ends
+
+
+def vb_decode(buf, n: int) -> np.ndarray:
+    """Decode n varbyte values from buf (little-endian 7-bit groups,
+    continuation bit on all but the last byte of each value)."""
+    if n == 0:
+        return np.zeros(0, np.uint64)
+    b = np.frombuffer(buf, np.uint8)
+    is_last = (b & 0x80) == 0
+    val_idx = np.zeros(len(b), np.int64)
+    np.cumsum(is_last[:-1], out=val_idx[1:])
+    group_start = np.zeros(len(b), bool)
+    group_start[0] = True
+    group_start[1:] = is_last[:-1]
+    gstart = np.flatnonzero(group_start)
+    within = np.arange(len(b), dtype=np.int64) - gstart[val_idx]
+    vals = np.zeros(n, np.uint64)
+    np.add.at(vals, val_idx,
+              (b & 0x7F).astype(np.uint64) << (within.astype(np.uint64) * _U7))
+    return vals
+
+
+def bm25_tf_norm(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
+                 k1: float, b: float) -> np.ndarray:
+    """idf-free BM25 weight: tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))."""
+    tf = tfs.astype(np.float64)
+    denom = tf + k1 * (1.0 - b + b * (dls.astype(np.float64) / avgdl))
+    return tf * (k1 + 1.0) / denom
+
+
+def encode_chunks(doc_ids, tfs, dls, imps, avgdl: float,
+                  k1: float, b: float,
+                  block_size: int = 128, chunk_blocks: int = 1024) -> list:
+    """Encode one term's sorted postings into chunk dicts matching the
+    INDEX schema (minus shard/term, added by the caller)."""
+    doc_ids = np.asarray(doc_ids, np.int64)
+    n = len(doc_ids)
+    assert n > 0
+    tfs = np.asarray(tfs, np.int64)
+    dls = np.asarray(dls, np.int64)
+    imps = np.asarray(imps, np.int64)
+
+    gaps = np.diff(doc_ids, prepend=np.int64(0))
+    weights = bm25_tf_norm(tfs, dls, avgdl, k1, b)
+
+    n_blocks_total = (n + block_size - 1) // block_size
+    block_bounds = np.minimum(np.arange(1, n_blocks_total + 1) * block_size, n)
+    block_starts = np.concatenate(([0], block_bounds[:-1]))
+    block_last = doc_ids[block_bounds - 1]
+    block_n = (block_bounds - block_starts).astype(np.uint16)
+    block_maxw = np.maximum.reduceat(weights, block_starts)
+
+    chunks = []
+    for c0 in range(0, n_blocks_total, chunk_blocks):
+        c1 = min(c0 + chunk_blocks, n_blocks_total)
+        p0, p1 = int(block_starts[c0]), int(block_bounds[c1 - 1])
+        nb = c1 - c0
+
+        cg = gaps[p0:p1].copy()
+        # first value of the chunk is absolute (standalone decode)
+        cg[0] = doc_ids[p0]
+        streams, ends_list = [], []
+        for arr in (cg, tfs[p0:p1], dls[p0:p1], imps[p0:p1]):
+            s, ends = vb_encode(arr)
+            streams.append(s)
+            # per-block cumulative ends within this chunk
+            rel_bounds = block_bounds[c0:c1] - p0
+            ends_list.append(ends[rel_bounds - 1].astype(np.uint32))
+
+        header = np.array([nb], np.uint32).tobytes()
+        payload = b"".join(
+            [header]
+            + [e.tobytes() for e in ends_list]
+            + [block_n[c0:c1].tobytes()]
+            + streams
+        )
+        chunks.append({
+            "chunk": len(chunks),
+            "n_postings": p1 - p0,
+            "first_doc": int(doc_ids[p0]),
+            "last_doc": int(doc_ids[p1 - 1]),
+            "payload": payload,
+            "block_last_doc": block_last[c0:c1].tolist(),
+            "block_max_score": block_maxw[c0:c1].tolist(),
+        })
+    return chunks
+
+
+def decode_chunk(payload, block_sel=None, prev_last: int = 0):
+    """Decode selected blocks of one chunk.
+
+    block_sel: boolean mask over blocks (None = all).  Selected blocks
+    are decoded per contiguous run (delta chains only need the previous
+    block's last_doc, recovered from the header-adjacent metadata by the
+    caller via ``prev_last_for``).
+
+    Returns (doc_ids, tfs, dls, imps) int64 arrays.
+    """
+    buf = memoryview(payload)
+    n_blocks = int(np.frombuffer(buf[:4], np.uint32)[0])
+    off = 4
+    ends = []
+    for _ in range(4):
+        ends.append(np.frombuffer(buf[off:off + 4 * n_blocks], np.uint32).astype(np.int64))
+        off += 4 * n_blocks
+    n_per_block = np.frombuffer(buf[off:off + 2 * n_blocks], np.uint16).astype(np.int64)
+    off += 2 * n_blocks
+    n_cum = np.concatenate(([0], np.cumsum(n_per_block)))
+
+    stream_bufs = []
+    for e in ends:
+        total = int(e[-1])
+        stream_bufs.append(buf[off:off + total])
+        off += total
+
+    if block_sel is None:
+        block_sel = np.ones(n_blocks, bool)
+    sel = np.flatnonzero(block_sel)
+    if len(sel) == 0:
+        z = np.zeros(0, np.int64)
+        return z, z.copy(), z.copy(), z.copy()
+
+    # contiguous runs of selected blocks
+    run_breaks = np.flatnonzero(np.diff(sel) > 1)
+    run_starts = np.concatenate(([0], run_breaks + 1))
+    run_ends = np.concatenate((run_breaks, [len(sel) - 1]))
+
+    outs = [[] for _ in range(4)]
+    for rs, re_ in zip(run_starts, run_ends):
+        b0, b1 = int(sel[rs]), int(sel[re_])
+        n_vals = int(n_cum[b1 + 1] - n_cum[b0])
+        decoded = []
+        for si, (e, sbuf) in enumerate(zip(ends, stream_bufs)):
+            lo = int(e[b0 - 1]) if b0 > 0 else 0
+            hi = int(e[b1])
+            decoded.append(vb_decode(sbuf[lo:hi], n_vals).astype(np.int64))
+        gaps = decoded[0]
+        # absolute doc ids: cumsum of gaps; first gap of run needs the
+        # previous block's last doc (0 if run starts at block 0, whose
+        # first gap is stored absolute).
+        if b0 > 0:
+            gaps = gaps.copy()
+            gaps[0] += prev_last if callable(prev_last) is False else 0
+        outs[0].append(np.cumsum(gaps))
+        for si in range(1, 4):
+            outs[si].append(decoded[si])
+    return tuple(np.concatenate(o) if len(o) > 1 else o[0] for o in outs)

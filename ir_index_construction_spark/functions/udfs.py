@@ -1,0 +1,85 @@
+"""Pandas/Arrow UDFs for URL handling and fused extraction+tokenization.
+
+Design note (scale): the O6-O11 chain (HTML parse -> weighted zones ->
+normalize -> tokenize -> stem -> filter -> per-doc tf/imp accumulation)
+is fused into ONE mapInPandas pass.  Crossing the JVM<->Python boundary
+once per document batch and emitting per-doc AGGREGATED term stats
+shrinks the downstream shuffle from one row per token occurrence to one
+row per distinct (term, doc) — on web text a ~5-10x reduction — and the
+per-batch stem memo exploits the Zipf head.  No per-row Python UDFs
+anywhere (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlparse, urlunparse
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..text.extract import extract_text, extract_text_and_zones
+from ..text.normalize import doc_term_stats
+from ..text.porter import make_cached_stemmer
+
+_URL_PARTS = StructType([
+    StructField("url", StringType(), False),      # defragmented
+    StructField("scheme", StringType(), True),
+    StructField("path", StringType(), True),
+])
+
+
+@pandas_udf(_URL_PARTS)
+def url_parts_udf(urls: pd.Series) -> pd.DataFrame:
+    """Defrag + parse in one Arrow pass.  urlunparse NORMALIZES, so this is
+    deliberately not a regex strip — byte-identity with the reference's
+    defrag_url (indexer.py:95-107) requires urllib round-tripping."""
+    out_url, out_scheme, out_path = [], [], []
+    for u in urls:
+        p = urlparse(u)
+        out_url.append(urlunparse((p.scheme, p.netloc, p.path, p.params, p.query, "")))
+        out_scheme.append(p.scheme)
+        out_path.append(p.path.lower())
+    return pd.DataFrame({"url": out_url, "scheme": out_scheme, "path": out_path})
+
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """North-rule invariant column: byte-identical extracted text per url."""
+    return html.map(lambda h: extract_text(h) if h is not None else "")
+
+
+def make_extract_tokenize():
+    """mapInPandas fn: (doc_id, url, html) batches -> TOKENIZED rows
+    (doc_id, url, text, dl, terms ARRAY<STRUCT<term,tf,imp>>).
+
+    One fused Arrow pass over O6-O11 (extract zones, normalize, tokenize,
+    stem with memo, validity-filter, per-doc tf/imp accumulation —
+    indexer.py:175-228 semantics via the shared text layer)."""
+
+    def extract_tokenize(batches):
+        stemmer = make_cached_stemmer()   # memo shared across the partition
+        for pdf in batches:
+            texts, dls, terms_col = [], [], []
+            for h in pdf["html"]:
+                if h is None:
+                    texts.append("")
+                    dls.append(0)
+                    terms_col.append([])
+                    continue
+                text, zones = extract_text_and_zones(h)
+                texts.append(text)
+                stats = doc_term_stats(zones, stemmer)
+                dls.append(sum(tf for tf, _ in stats.values()))
+                terms_col.append(
+                    [{"term": t, "tf": v[0], "imp": v[1]} for t, v in stats.items()]
+                )
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "url": pdf["url"],
+                "text": texts,
+                "dl": pd.Series(dls, dtype="int32"),
+                "terms": terms_col,
+            })
+
+    return extract_tokenize

@@ -1,0 +1,66 @@
+"""Tokenization + posting construction + corpus statistics.
+
+Covers SURVEY.md §2 O6-O12 (fused UDF + native explode) and O21 (stats).
+The merge stage of the reference (O13-O15, merger.py:31-102) does not
+exist here: Spark's shuffle IS the k-way sorted merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.udfs import make_extract_tokenize
+from ..schemas import TOKENIZED
+
+
+def tokenize(corpus_with_ids: DataFrame) -> DataFrame:
+    """(doc_id, url, html, ...) -> TOKENIZED (one row per doc, per-doc
+    aggregated term stats).  Column pruning: only doc_id/url/html cross
+    into Python."""
+    return corpus_with_ids.select("doc_id", "url", "html").mapInPandas(
+        make_extract_tokenize(), schema=TOKENIZED
+    )
+
+
+def postings_from_tokenized(tokenized: DataFrame) -> DataFrame:
+    """Explode per-doc term arrays into flat POSTINGS rows.  Native
+    Generate node — no Python.  (term, doc_id) is already unique because
+    the UDF pre-aggregated per doc, so NO groupBy/shuffle is needed here
+    (the reference's O12 agg happened inside the fused UDF)."""
+    return tokenized.select(
+        F.col("doc_id"),
+        F.col("dl"),
+        F.explode("terms").alias("t"),
+    ).select(
+        F.col("t.term").alias("term"),
+        "doc_id",
+        F.col("t.tf").alias("tf"),
+        F.col("t.imp").alias("imp"),
+        "dl",
+    )
+
+
+def docs_table(tokenized: DataFrame) -> DataFrame:
+    """docs(doc_id, url, doc_len) — includes zero-token docs (the
+    reference assigns ids before parsing, indexer.py:164-175, so empty
+    docs still count toward N)."""
+    return tokenized.select(
+        "doc_id", "url", F.col("dl").alias("doc_len")
+    )
+
+
+def dictionary_table(postings: DataFrame) -> DataFrame:
+    """dictionary(term, df, cf) — exact df (BM25 identity needs exact
+    counts, SURVEY.md O21).  One partial+final hash agg."""
+    return postings.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"),
+    )
+
+
+def stats_table(docs: DataFrame) -> DataFrame:
+    """stats(n_docs, avgdl, n_terms=placeholder until dictionary counted)."""
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.avg("doc_len"), F.lit(0.0)).alias("avgdl"),
+    )

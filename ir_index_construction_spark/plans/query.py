@@ -1,0 +1,106 @@
+"""Query-time top-k retrieval plans.
+
+Two physical strategies with identical semantics (tested against each
+other and against the pure-Python oracle):
+
+  * bm25_topk_exhaustive — pure native DataFrame plan over the flat
+    postings table: broadcast the (tiny) query terms, score every
+    candidate posting with a whole-stage-codegen'd BM25 expression, one
+    hash-agg shuffle keyed on doc_id, TakeOrderedAndProject for top-k.
+    This is the oracle-SQL-expressible path (DuckDB cross-check).
+
+  * wand path (operators/topk.py) — block-max WAND over the compressed
+    document-sharded index: shard-local scorer, no shuffle, global
+    TakeOrdered merge.  The scale path.
+
+Boolean AND (searcher.py:194-197): candidate must match ALL distinct
+query terms; any term with zero postings empties the result before any
+job launches (driver-side early exit against the dictionary —
+searcher.py:153-155).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..config import BM25Config
+from ..schemas import TOPK
+from ..text.normalize import parse_query
+import math
+
+
+def empty_topk(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], TOPK)
+
+
+def query_term_idf(spark: SparkSession, dictionary: DataFrame, terms,
+                   n_docs: int) -> dict:
+    """Driver-side df lookup for the query terms (a semi-join of a
+    million-term dictionary against <10 terms: broadcast the terms, not
+    the dictionary).  Returns {term: (df, idf)} for terms present."""
+    tdf = spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    rows = dictionary.join(F.broadcast(tdf), "term", "inner").select("term", "df").collect()
+    out = {}
+    for r in rows:
+        df = r["df"]
+        out[r["term"]] = (df, math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+    return out
+
+
+def bm25_topk_exhaustive(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    docs: DataFrame,
+    query: str,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    bm25: BM25Config = BM25Config(),
+) -> DataFrame:
+    """Returns TOPK (rank, doc_id, url, score)."""
+    spark = postings.sparkSession
+    terms, is_bool = parse_query(query)
+    if not terms or n_docs == 0 or avgdl == 0:
+        return empty_topk(spark)
+
+    tf_idf = query_term_idf(spark, dictionary, terms, n_docs)
+    counts = Counter(terms)
+    present = [t for t in counts if t in tf_idf]
+    if is_bool and len(present) < len(counts):
+        return empty_topk(spark)          # absent AND-term -> empty
+    if not present:
+        return empty_topk(spark)
+
+    terms_df = spark.createDataFrame(
+        [(t, counts[t], tf_idf[t][1]) for t in present],
+        "term string, mult int, idf double",
+    )
+
+    k1, b = bm25.k1, bm25.b
+    contrib = (
+        F.col("mult") * F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)))
+    )
+    matches = postings.join(F.broadcast(terms_df), "term", "inner")
+    scores = matches.groupBy("doc_id").agg(
+        F.sum(contrib).alias("score"),
+        F.count("*").alias("_nt"),        # (term,doc) unique -> distinct terms
+    )
+    if is_bool:
+        scores = scores.filter(F.col("_nt") == len(present))
+
+    topk = (
+        scores.select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)                          # TakeOrderedAndProject
+    )
+    ranked = docs.join(F.broadcast(topk), "doc_id", "inner").withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        ).cast("int"),
+    )
+    return ranked.select("rank", "doc_id", "url", "score")

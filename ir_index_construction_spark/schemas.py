@@ -1,0 +1,130 @@
+"""Explicit StructType schemas for every engine table (SURVEY.md §1.3).
+
+The reference is schemaless (its index schema exists only as a comment,
+/root/reference/indexer.py:15-41); here every dataflow edge is typed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# North-rule input table (BASELINE.json input_hint).
+DOCUMENTS = StructType([
+    StructField("url", StringType(), False),
+    StructField("warc_ts", TimestampType(), False),
+    StructField("html", BinaryType(), True),
+    StructField("text", StringType(), True),
+    StructField("lang", StringType(), True),
+])
+
+# Output of the fused extract+tokenize pandas UDF: one row per kept doc.
+TOKENIZED = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("url", StringType(), False),
+    StructField("text", StringType(), True),       # extracted full text (invariant col)
+    StructField("dl", IntegerType(), False),        # kept-token count
+    StructField("terms", ArrayType(StructType([
+        StructField("term", StringType(), False),
+        StructField("tf", IntegerType(), False),
+        StructField("imp", IntegerType(), False),
+    ])), False),
+])
+
+# Flat postings (intermediate).
+POSTINGS = StructType([
+    StructField("term", StringType(), False),
+    StructField("doc_id", LongType(), False),
+    StructField("tf", IntegerType(), False),
+    StructField("imp", IntegerType(), False),
+    StructField("dl", IntegerType(), False),
+])
+
+DOCS = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("url", StringType(), False),
+    StructField("doc_len", IntegerType(), False),
+])
+
+DICTIONARY = StructType([
+    StructField("term", StringType(), False),
+    StructField("df", LongType(), False),
+    StructField("cf", LongType(), False),
+])
+
+STATS = StructType([
+    StructField("n_docs", LongType(), False),
+    StructField("avgdl", DoubleType(), False),
+    StructField("n_terms", LongType(), False),
+])
+
+# Compressed document-sharded index. One row per (shard, term, chunk):
+# payload = delta+varbyte blocks of (doc_id gaps, tf, dl, imp);
+# block_max rows carry (last_doc, max_score) per 128-posting block.
+INDEX = StructType([
+    StructField("shard", IntegerType(), False),
+    StructField("term", StringType(), False),
+    StructField("chunk", IntegerType(), False),
+    StructField("df", LongType(), False),           # term df within shard
+    StructField("n_postings", IntegerType(), False),  # postings in this chunk
+    StructField("first_doc", LongType(), False),
+    StructField("last_doc", LongType(), False),
+    StructField("payload", BinaryType(), False),
+    StructField("block_last_doc", ArrayType(LongType()), False),
+    StructField("block_max_score", ArrayType(DoubleType()), False),
+])
+
+# Phase-1 salted posting runs (intermediate, shuffle-compacting).
+SALTED_RUNS = StructType([
+    StructField("shard", IntegerType(), False),
+    StructField("term", StringType(), False),
+    StructField("salt", IntegerType(), False),
+    StructField("n", IntegerType(), False),
+    StructField("doc_ids", BinaryType(), False),     # int64 little-endian
+    StructField("tfs", BinaryType(), False),         # int32
+    StructField("dls", BinaryType(), False),         # int32
+    StructField("imps", BinaryType(), False),        # int32
+])
+
+CHECKPOINTS = StructType([
+    StructField("build_id", StringType(), False),
+    StructField("stage", StringType(), False),
+    StructField("partition_id", IntegerType(), False),
+    StructField("status", StringType(), False),
+    StructField("committed_at", TimestampType(), False),
+])
+
+LINEAGE = StructType([
+    StructField("build_id", StringType(), False),
+    StructField("stage", StringType(), False),
+    StructField("partition_id", IntegerType(), False),
+    StructField("input_snapshot", StringType(), False),
+    StructField("rows_in", LongType(), False),
+    StructField("rows_out", LongType(), False),
+])
+
+METRICS = StructType([
+    StructField("build_id", StringType(), False),
+    StructField("stage", StringType(), False),
+    StructField("partition_id", IntegerType(), False),
+    StructField("wall_sec", DoubleType(), False),
+    StructField("docs_per_sec", DoubleType(), False),
+    StructField("postings_per_sec", DoubleType(), False),
+    StructField("bytes_compressed", LongType(), False),
+])
+
+TOPK = StructType([
+    StructField("rank", IntegerType(), False),
+    StructField("doc_id", LongType(), False),
+    StructField("url", StringType(), False),
+    StructField("score", DoubleType(), False),
+])

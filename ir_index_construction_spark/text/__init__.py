@@ -1,6 +1,12 @@
 """Pure-Python text layer shared by the Spark UDFs and the oracle."""
 
-from .extract import extract_text, extract_zones, IMPORTANT_TAGS, DEFAULT_WEIGHT  # noqa: F401
+from .extract import (  # noqa: F401
+    extract_text,
+    extract_text_and_zones,
+    extract_zones,
+    IMPORTANT_TAGS,
+    DEFAULT_WEIGHT,
+)
 from .normalize import (  # noqa: F401
     index_normalize,
     query_normalize,

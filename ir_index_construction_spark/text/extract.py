@@ -155,6 +155,28 @@ def extract_text(html) -> str:
     return get_text(root)
 
 
+def extract_text_and_zones(html):
+    """Single-parse fusion of extract_text + extract_zones (the hot path
+    inside the tokenizer UDF parses each page exactly once)."""
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    root = parse(html)
+    decompose(root, NOISE_TAGS)
+    text = get_text(root)
+
+    zones: list = []
+    for tag_name, weight in IMPORTANT_TAGS.items():
+        for el in find_all(root, frozenset([tag_name])):
+            zone_text = get_text(el)
+            if zone_text:
+                zones.append((zone_text, weight))
+    decompose(root, frozenset(IMPORTANT_TAGS))
+    default_text = get_text(root)
+    if default_text:
+        zones.append((default_text, DEFAULT_WEIGHT))
+    return text, zones
+
+
 def extract_zones(html) -> list:
     """Weighted zones exactly as indexer.py:181-228 orders them.
 

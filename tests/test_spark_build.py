@@ -1,0 +1,75 @@
+"""Spark pipeline vs pure-Python oracle: table-level and rank identity."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import QUERY_SET
+from tests.oracle import search as oracle_search
+
+
+def test_docs_table_matches_oracle(built, oracle_index):
+    rows = built.docs.orderBy("doc_id").collect()
+    assert built.n_docs == oracle_index.n_docs
+    assert len(rows) == oracle_index.n_docs
+    for r in rows:
+        assert oracle_index.doc_url[r["doc_id"]] == r["url"]
+        assert oracle_index.doc_len[r["doc_id"]] == r["doc_len"]
+    assert abs(built.avgdl - oracle_index.avgdl) < 1e-9
+
+
+def test_extracted_text_byte_identical(built, documents_df, spark, corpus_rows):
+    """North-rule per-row invariant: UDF-extracted text == the corpus
+    `text` column (itself produced by the oracle extractor) per url."""
+    from ir_index_construction_spark.functions.udfs import extract_text_udf
+
+    got = (
+        documents_df.select("url", extract_text_udf("html").alias("t2"), "text")
+        .withColumn("same", F.col("t2") == F.col("text"))
+        .agg(F.sum(F.when(F.col("same"), 0).otherwise(1)).alias("bad"))
+        .collect()[0]["bad"]
+    )
+    assert got == 0
+
+
+def test_postings_match_oracle(built, oracle_index):
+    rows = built.postings.collect()
+    got = {}
+    for r in rows:
+        key = (r["term"], r["doc_id"])
+        assert key not in got, f"duplicate posting {key}"
+        got[key] = (r["tf"], r["imp"], r["dl"])
+    want = {
+        (t, d): (tf, imp, oracle_index.doc_len[d])
+        for t, posting in oracle_index.postings.items()
+        for d, (tf, imp) in posting.items()
+    }
+    assert got == want
+
+
+def test_dictionary_matches_oracle(built, oracle_index):
+    rows = built.dictionary.collect()
+    got = {r["term"]: (r["df"], r["cf"]) for r in rows}
+    want = {
+        t: (len(p), sum(tf for tf, _ in p.values()))
+        for t, p in oracle_index.postings.items()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("query", QUERY_SET)
+def test_rank_identity_exhaustive(built, oracle_index, query):
+    from ir_index_construction_spark.plans.query import bm25_topk_exhaustive
+
+    expected = oracle_search(oracle_index, query, k=10)
+    got = bm25_topk_exhaustive(
+        built.postings, built.dictionary, built.docs, query,
+        built.n_docs, built.avgdl, k=10,
+    ).orderBy("rank").collect()
+
+    assert [(r["rank"], r["doc_id"], r["url"]) for r in got] == [
+        (rank, d, u) for rank, d, u, _ in expected
+    ]
+    for r, (_, _, _, score) in zip(got, expected):
+        assert math.isclose(r["score"], score, rel_tol=1e-9, abs_tol=1e-12)
