@@ -1,0 +1,165 @@
+"""Benchmark harness: one JSON line with per-query seconds.
+
+Headline numbers:
+  * index_build        north-rule corpus -> docs/postings/dictionary ->
+                       compressed block-max index (docs/sec reported)
+  * wand_p50 / wand_p95  BM25 top-10 via block-max WAND over the
+                       compressed index, reference query set
+  * exhaustive_p50     same queries via the flat-postings native plan
+  * plus the training-data operators on the driver-provided tables
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_DOCS (override corpus size).
+
+The synthetic corpus is generated DISTRIBUTED (mapInPandas over an id
+range — every row is a pure function of (seed, i)) and staged to parquet
+untimed, so the timed build measures scan -> index, not generation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F
+
+from ir_index_construction_spark.config import BM25Config, IndexConfig
+from ir_index_construction_spark.session import get_spark
+
+REFERENCE_QUERIES = ["cristina lopes", "machine learning", "ACM",
+                     "master of software engineering"]
+
+
+def corpus_size(sf_dir: str) -> int:
+    if env := os.environ.get("SPARK_GRAFT_BENCH_DOCS"):
+        return int(env)
+    if "0.001" in sf_dir:
+        return 400
+    if "0.01" in sf_dir:
+        return 2000
+    return 12000
+
+
+def generate_corpus(spark, n_docs: int, out_dir: str):
+    from ir_index_construction_spark.corpusgen import make_doc
+    from ir_index_construction_spark.schemas import DOCUMENTS
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [make_doc(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    par = spark.sparkContext.defaultParallelism
+    (
+        spark.range(n_docs).repartition(par * 2)
+        .mapInPandas(gen, schema=DOCUMENTS)
+        .write.mode("overwrite").parquet(out_dir)
+    )
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("ir-bench", cpus=cpus, shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict = {}
+    extras: dict = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 4)
+        return out
+
+    n_docs = corpus_size(sf_dir)
+    workdir = tempfile.mkdtemp(prefix="ir_bench_")
+    corpus_path = os.path.join(workdir, "corpus")
+    generate_corpus(spark, n_docs, corpus_path)       # untimed staging
+
+    from ir_index_construction_spark.operators.compress import build_compressed_index
+    from ir_index_construction_spark.operators.topk import wand_topk
+    from ir_index_construction_spark.plans.build import build_tables
+    from ir_index_construction_spark.plans.query import bm25_topk_exhaustive
+
+    cfg = IndexConfig(shard_size=4096, block_size=128, chunk_blocks=256,
+                      salt_buckets=4, term_buckets=max(cpus, 8))
+
+    def build():
+        docs_df = spark.read.parquet(corpus_path)
+        built = build_tables(docs_df)
+        index = build_compressed_index(built.postings, built.avgdl,
+                                       BM25Config(), cfg).persist()
+        index.count()
+        built.dictionary = built.dictionary.persist()
+        built.dictionary.count()
+        return built, index
+
+    built, index = timed("index_build", build)
+    extras["n_docs_indexed"] = built.n_docs
+    extras["build_docs_per_sec"] = round(built.n_docs / timings["index_build"], 2)
+
+    # query latency: reference query set x3, p50/p95
+    lat_wand, lat_ex = [], []
+    for rep in range(3):
+        for q in REFERENCE_QUERIES:
+            t0 = time.time()
+            wand_topk(index, built.dictionary, built.docs, q,
+                      built.n_docs, built.avgdl, k=10).collect()
+            lat_wand.append(time.time() - t0)
+            t0 = time.time()
+            bm25_topk_exhaustive(built.postings, built.dictionary, built.docs,
+                                 q, built.n_docs, built.avgdl, k=10).collect()
+            lat_ex.append(time.time() - t0)
+    timings["wand_p50"] = round(statistics.median(lat_wand), 4)
+    timings["wand_p95"] = round(sorted(lat_wand)[int(len(lat_wand) * 0.95) - 1], 4)
+    timings["exhaustive_p50"] = round(statistics.median(lat_ex), 4)
+
+    # training-data operators on the driver-provided tables
+    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb_tbl = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    from ir_index_construction_spark.operators.dedup import (
+        exact_duplicates, minhash_lsh_pairs, simhash_64)
+    from ir_index_construction_spark.operators.similarity import (
+        cosine_topk_bruteforce, lsh_bucketed_topk)
+    from ir_index_construction_spark.operators.textstats import (
+        language_id, quality_score)
+
+    timed("dedup_exact", lambda: exact_duplicates(docs_tbl, "doc_id", "text").count())
+    timed("dedup_minhash_lsh", lambda: minhash_lsh_pairs(
+        docs_tbl, "doc_id", "text", threshold=0.5).count())
+    timed("dedup_simhash", lambda: simhash_64(docs_tbl, "doc_id", "text").count())
+    qvec = [float(x) for x in
+            emb_tbl.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    timed("knn_bruteforce", lambda: cosine_topk_bruteforce(
+        emb_tbl, "vec_id", "embedding", qvec, k=10).collect())
+    timed("knn_lsh", lambda: lsh_bucketed_topk(
+        emb_tbl, "vec_id", "embedding", qvec, k=10).collect())
+    timed("langid", lambda: language_id(docs_tbl, "doc_id", "text").count())
+    timed("quality", lambda: quality_score(docs_tbl, "doc_id", "text").count())
+
+    sf = 0.001 if "0.001" in sf_dir else (0.01 if "0.01" in sf_dir else 0.1)
+    print(json.dumps({
+        "metric": "index_build_and_query_seconds",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        **extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -34,7 +34,7 @@ class IndexConfig:
     block_size: int = 128              # postings per compressed block
     chunk_blocks: int = 1024           # blocks per index row (bounds row size)
     salt_buckets: int = 4              # head-term skew salt fan-out (phase-1)
-    salt_threshold: int = 1 << 16      # postings/term above which salting pays
+    term_buckets: int = 16             # encode-group fan-out within a shard
 
 
 @dataclass(frozen=True)
@@ -48,17 +48,18 @@ class BuildConfig:
 DEFAULT_BUILD = BuildConfig()
 
 
-def small_scale(shard_size: int = 2048, salt_buckets: int = 4,
-                block_size: int = 128, chunk_blocks: int = 64,
-                salt_threshold: int = 64) -> BuildConfig:
-    """Config for local tests: tiny shards/chunks so the sharding, salting
-    and chunking code paths are all exercised at a few-hundred-doc scale."""
+def small_scale(shard_size: int = 128, salt_buckets: int = 4,
+                block_size: int = 16, chunk_blocks: int = 4,
+                term_buckets: int = 4) -> BuildConfig:
+    """Config for local tests: tiny shards/blocks/chunks so the sharding,
+    salting, blocking and chunking code paths are all exercised at a
+    few-hundred-doc scale."""
     return BuildConfig(
         index=IndexConfig(
             shard_size=shard_size,
             block_size=block_size,
             chunk_blocks=chunk_blocks,
             salt_buckets=salt_buckets,
-            salt_threshold=salt_threshold,
+            term_buckets=term_buckets,
         )
     )

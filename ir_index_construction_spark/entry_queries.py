@@ -1,0 +1,802 @@
+"""Driver-contract queries: one entry per operator family (SURVEY.md §2)
+with an exact DuckDB oracle where ANSI SQL can express the semantics.
+
+Conventions for oracle parity:
+  * every aggregate/computed column is aliased identically on both sides
+  * doubles are round(_, 6) on both sides (float-sum order differs
+    between engines at ~1e-15; rounding absorbs it)
+  * DuckDB integer sums are ::BIGINT (DuckDB sums to HUGEINT, Spark to
+    long); Spark size() is cast to long (Spark size() is int)
+  * all hashes derive from md5 (bit-identical in Spark, DuckDB, Python)
+  * tokenization used in SQL-parity queries is the O8 normalizer WITHOUT
+    stemming (Porter isn't SQL-expressible; stemmed paths are covered by
+    the rows-only queries + the pytest oracle suite)
+
+Rows-only queries (driver records row-count/schema only): the full
+north-rule pipeline (build + BM25/WAND over the synthetic corpus), whose
+ground truth is the pure-Python oracle exercised in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+_NORM_RE = "[^a-z0-9\\s]"
+
+SQL_TOKS = """
+toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(
+               trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')),
+               '\\s+')) AS term
+    FROM documents
+),
+toks2 AS (SELECT doc_id, term FROM toks WHERE term <> '')
+"""
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    """O8+O9 without stemming: punctuation -> space, lower, split."""
+    return (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower(F.col("text")), _NORM_RE, " ")),
+                    r"\s+",
+                )
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _hash64(col, salt: int):
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(salt) + "|"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _sql_hash64(expr: str, salt: int) -> str:
+    return f"(('0x' || substr(md5(concat('{salt}|', {expr})), 1, 15))::BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# O1/O3: scan + projection + predicate
+# ---------------------------------------------------------------------------
+
+def q_scan_filter(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .filter((F.col("n_chars") > 200) & (F.col("lang") == "en"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+SQL_SCAN_FILTER = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE n_chars > 200 AND lang = 'en'
+"""
+
+# ---------------------------------------------------------------------------
+# O2/O3: url defrag + validity (urls synthesized deterministically —
+# the testdata documents table has no url column)
+# ---------------------------------------------------------------------------
+
+def q_url_defrag_valid(spark, sf_dir):
+    from .functions.udfs import url_parts_udf
+    from .text.normalize import EXT_BLACKLIST_PATTERN
+
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://ex.edu/p/"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 20 == 0, ".pdf").otherwise(".html"),
+            F.when(F.col("doc_id") % 7 == 0, "#frag").otherwise(""),
+        ).alias("raw_url"),
+    )
+    p = df.withColumn("_p", url_parts_udf(F.col("raw_url")))
+    return (
+        p.filter(~F.col("_p.path").rlike("^" + EXT_BLACKLIST_PATTERN))
+        .select("doc_id", F.col("_p.url").alias("url"))
+    )
+
+
+SQL_URL_DEFRAG_VALID = """
+WITH u AS (
+    SELECT doc_id,
+           concat('https://ex.edu/p/', doc_id,
+                  CASE WHEN doc_id % 20 = 0 THEN '.pdf' ELSE '.html' END,
+                  CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS raw_url
+    FROM documents
+)
+SELECT doc_id, regexp_replace(raw_url, '#.*$', '') AS url
+FROM u
+WHERE doc_id % 20 <> 0
+"""
+
+# ---------------------------------------------------------------------------
+# O4/O5: dedup first-occurrence + window
+# ---------------------------------------------------------------------------
+
+def q_dedup_first(spark, sf_dir):
+    df = _docs(spark, sf_dir).withColumn("grp", F.col("n_chars") % 50)
+    w = Window.partitionBy("grp").orderBy(F.col("doc_id").asc())
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("grp", F.col("doc_id").alias("first_doc_id"))
+    )
+
+
+SQL_DEDUP_FIRST = """
+SELECT grp, doc_id AS first_doc_id FROM (
+    SELECT n_chars % 50 AS grp, doc_id,
+           row_number() OVER (PARTITION BY n_chars % 50 ORDER BY doc_id) AS rn
+    FROM documents
+) WHERE rn = 1
+"""
+
+# ---------------------------------------------------------------------------
+# O8/O9/O12: tokenize + per-(term,doc) aggregation (postings)
+# ---------------------------------------------------------------------------
+
+def q_postings(spark, sf_dir):
+    return (
+        _tokens(_docs(spark, sf_dir))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+SQL_POSTINGS = f"""
+WITH {SQL_TOKS}
+SELECT term, doc_id, count(*)::BIGINT AS tf
+FROM toks2 GROUP BY term, doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# O11: token validity rules (reference indexer.py:109-124)
+# ---------------------------------------------------------------------------
+
+def q_token_filter(spark, sf_dir):
+    toks = _tokens(_docs(spark, sf_dir)).select("term").distinct()
+    valid = (
+        ~F.col("term").rlike("^(ensm|ensg)")
+        & (~F.col("term").rlike("^[0-9]+$") | (F.length("term") <= 4))
+        & ~(
+            F.col("term").rlike("^[0-9e./-]+$")
+            & F.col("term").rlike("[0-9]")
+            & F.col("term").rlike("[e./-]")
+        )
+    )
+    return toks.select("term", valid.alias("is_valid")).groupBy("is_valid").agg(
+        F.count("*").cast("long").alias("n_terms")
+    )
+
+
+SQL_TOKEN_FILTER = f"""
+WITH {SQL_TOKS},
+d AS (SELECT DISTINCT term FROM toks2),
+v AS (
+    SELECT term,
+           (NOT regexp_matches(term, '^(ensm|ensg)'))
+           AND ((NOT regexp_matches(term, '^[0-9]+$')) OR length(term) <= 4)
+           AND (NOT (regexp_matches(term, '^[0-9e./-]+$')
+                     AND regexp_matches(term, '[0-9]')
+                     AND regexp_matches(term, '[e./-]'))) AS is_valid
+    FROM d
+)
+SELECT is_valid, count(*)::BIGINT AS n_terms FROM v GROUP BY is_valid
+"""
+
+# ---------------------------------------------------------------------------
+# O21: dictionary (df/cf) + corpus stats
+# ---------------------------------------------------------------------------
+
+def q_dictionary(spark, sf_dir):
+    return (
+        _tokens(_docs(spark, sf_dir))
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("df"),
+            F.count("*").cast("long").alias("cf"),
+        )
+    )
+
+
+SQL_DICTIONARY = f"""
+WITH {SQL_TOKS}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM toks2 GROUP BY term
+"""
+
+
+def q_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs)
+    n_docs = docs.count()
+    return toks.agg(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.round(F.count("*") / F.lit(float(n_docs)), 6).alias("avgdl"),
+        F.countDistinct("term").cast("long").alias("n_terms"),
+    )
+
+
+SQL_STATS = f"""
+WITH {SQL_TOKS}
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       round(count(*) / (SELECT count(*) FROM documents)::DOUBLE, 6) AS avgdl,
+       count(DISTINCT term)::BIGINT AS n_terms
+FROM toks2
+"""
+
+# ---------------------------------------------------------------------------
+# O24-O26, O29: BM25 top-k (the SQL-expressible flagship) + boolean AND
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ("data", "query", "scan")
+K1, B = 1.2, 0.75
+
+
+def q_bm25_topk(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs)
+    n_docs = docs.count()
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    total_tokens = toks.count()
+    avgdl = total_tokens / n_docs
+    dictionary = postings.groupBy("term").agg(F.count("*").alias("df"))
+
+    terms = spark.createDataFrame([(t,) for t in BM25_QUERY_TERMS], "term string")
+    tdf = dictionary.join(F.broadcast(terms), "term").withColumn(
+        "idf", F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    )
+    matches = (
+        postings.join(F.broadcast(tdf.select("term", "idf")), "term")
+        .join(dl, "doc_id")
+    )
+    w = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+    )
+    scores = matches.groupBy("doc_id").agg(
+        F.round(F.sum(F.col("idf") * w), 6).alias("score")
+    )
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scores.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "doc_id", "score")
+    )
+
+
+SQL_BM25_TOPK = f"""
+WITH {SQL_TOKS},
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks2 GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM toks2)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q AS (
+    SELECT d.term, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+    FROM dict d, consts c
+    WHERE d.term IN {tuple(BM25_QUERY_TERMS)!r}
+),
+scores AS (
+    SELECT p.doc_id,
+           round(sum(q.idf * ((p.tf * {K1 + 1.0}) /
+                 (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))))), 6) AS score
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+    GROUP BY p.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, score
+FROM scores
+ORDER BY rank
+LIMIT 10
+"""
+
+
+def q_boolean_and(spark, sf_dir):
+    toks = _tokens(_docs(spark, sf_dir)).select("term", "doc_id").distinct()
+    terms = spark.createDataFrame([(t,) for t in BM25_QUERY_TERMS], "term string")
+    return (
+        toks.join(F.broadcast(terms), "term")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("nt"))
+        .filter(F.col("nt") == len(BM25_QUERY_TERMS))
+        .select("doc_id")
+    )
+
+
+SQL_BOOLEAN_AND = f"""
+WITH {SQL_TOKS},
+m AS (SELECT DISTINCT term, doc_id FROM toks2
+      WHERE term IN {tuple(BM25_QUERY_TERMS)!r})
+SELECT doc_id FROM m GROUP BY doc_id
+HAVING count(*) = {len(BM25_QUERY_TERMS)}
+"""
+
+# ---------------------------------------------------------------------------
+# O29: window top-k per group
+# ---------------------------------------------------------------------------
+
+def q_topk_per_lang(spark, sf_dir):
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("lang", "rank", "doc_id", "n_chars")
+    )
+
+
+SQL_TOPK_PER_LANG = """
+SELECT lang, rank, doc_id, n_chars FROM (
+    SELECT lang, doc_id, n_chars,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY n_chars DESC, doc_id ASC)::BIGINT AS rank
+    FROM documents
+) WHERE rank <= 3
+"""
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+def q_exact_dups(spark, sf_dir):
+    from .operators.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir), "doc_id", "text").select(
+        "text_hash", F.col("dup_count").cast("long").alias("dup_count"),
+        "min_id")
+
+
+SQL_EXACT_DUPS = """
+SELECT md5(text) AS text_hash, count(*)::BIGINT AS dup_count,
+       min(doc_id) AS min_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def q_ngram_jaccard_dups(spark, sf_dir):
+    from .operators.dedup import ngram_jaccard_pairs
+
+    df = _docs(spark, sf_dir).filter(F.col("doc_id") < 800)
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.2)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 800),
+t AS (SELECT doc_id AS _id, string_split_regex(lower(text), '\\s+') AS _t FROM d),
+sh AS (
+    SELECT DISTINCT _id,
+           concat_ws(' ', _t[i + 1], _t[i + 2]) AS shingle
+    FROM t, unnest(range(0, greatest(len(_t) - 1, 0))) AS u(i)
+),
+sz AS (SELECT _id, count(*)::BIGINT AS sz FROM sh GROUP BY _id),
+inter AS (
+    SELECT a._id AS id_a, b._id AS id_b, count(*)::BIGINT AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a._id < b._id
+    GROUP BY a._id, b._id
+)
+SELECT i.id_a, i.id_b,
+       round(i.inter / (sa.sz + sb.sz - i.inter)::DOUBLE, 6) AS jaccard
+FROM inter i
+JOIN sz sa ON i.id_a = sa._id
+JOIN sz sb ON i.id_b = sb._id
+WHERE i.inter / (sa.sz + sb.sz - i.inter)::DOUBLE >= 0.2
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from .operators.dedup import _hash64 as dh, _shingles
+
+    df = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    sh = _shingles(df, "doc_id", "text", 3)
+    aggs = [F.min(dh(F.col("shingle"), h)).alias(f"h{h}") for h in range(8)]
+    return sh.groupBy(F.col("_id").alias("id")).agg(*aggs)
+
+
+def _sql_minhash() -> str:
+    mins = ",\n       ".join(
+        f"min({_sql_hash64('shingle', h)}) AS h{h}" for h in range(8))
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+t AS (SELECT doc_id AS _id, string_split_regex(lower(text), '\\s+') AS _t FROM d),
+sh AS (
+    SELECT DISTINCT _id,
+           concat_ws(' ', _t[i + 1], _t[i + 2], _t[i + 3]) AS shingle
+    FROM t, unnest(range(0, greatest(len(_t) - 2, 0))) AS u(i)
+)
+SELECT _id AS id,
+       {mins}
+FROM sh GROUP BY _id
+"""
+
+
+def q_simhash(spark, sf_dir):
+    from .operators.dedup import simhash_64
+
+    return simhash_64(_docs(spark, sf_dir).filter(F.col("doc_id") < 1000),
+                      "doc_id", "text", n_bits=16)
+
+
+def _sql_simhash(n_bits: int = 16) -> str:
+    votes = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)::BIGINT AS b{b}"
+        for b in range(n_bits))
+    recon = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(n_bits))
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+toks AS (SELECT doc_id AS id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM d),
+t2 AS (SELECT id, {_sql_hash64('tok', 0)} AS h FROM toks WHERE tok <> ''),
+votes AS (SELECT id, {votes} FROM t2 GROUP BY id)
+SELECT id, ({recon})::BIGINT AS simhash FROM votes
+"""
+
+# ---------------------------------------------------------------------------
+# similarity search family
+# ---------------------------------------------------------------------------
+
+def q_knn_bruteforce(spark, sf_dir):
+    from .operators.similarity import cosine_topk_bruteforce
+
+    emb = _embs(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    top = cosine_topk_bruteforce(
+        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding",
+        [float(x) for x in qvec], k=10)
+    w = Window.orderBy(F.col("cosine").desc(), F.col("id").asc())
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.col("id"), F.round("cosine", 6).alias("cosine"))
+
+
+SQL_KNN_BRUTEFORCE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+    SELECT e.vec_id AS id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+)
+SELECT row_number() OVER (ORDER BY cosine DESC, id ASC)::BIGINT AS rank,
+       id, cosine
+FROM s ORDER BY rank LIMIT 10
+"""
+
+
+def q_embedding_dups(spark, sf_dir):
+    from .operators.similarity import embedding_dup_pairs
+
+    emb = _embs(spark, sf_dir).filter(F.col("vec_id") < 500)
+    pairs = embedding_dup_pairs(emb, "vec_id", "embedding",
+                                threshold=0.5, exact=True)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+SQL_EMBEDDING_DUPS = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 500)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.5
+"""
+
+# ---------------------------------------------------------------------------
+# text analysis family
+# ---------------------------------------------------------------------------
+
+def q_langid(spark, sf_dir):
+    from .operators.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir), "doc_id", "text").select(
+        "id", *[F.col(f"{l}_hits").cast("long").alias(f"{l}_hits")
+                for l in ("en", "es", "de", "fr")],
+        "lang_pred")
+
+
+def _sql_langid() -> str:
+    from .operators.textstats import LANG_MARKERS
+
+    hits = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        hits.append(
+            f"len(list_filter(_t, t -> list_contains([{lst}], t)))::BIGINT"
+            f" AS {lang}_hits")
+    langs = list(LANG_MARKERS)
+    best = f"greatest({', '.join(l + '_hits' for l in langs)})"
+    pred = "CASE " + " ".join(
+        f"WHEN {l}_hits = {best} THEN '{l}'" for l in langs) + " END"
+    return f"""
+WITH t AS (
+    SELECT doc_id AS id, string_split_regex(lower(text), '\\s+') AS _t
+    FROM documents
+),
+h AS (SELECT id, {', '.join(hits)} FROM t)
+SELECT id, en_hits, es_hits, de_hits, fr_hits, {pred} AS lang_pred FROM h
+"""
+
+
+def q_quality(spark, sf_dir):
+    from .operators.textstats import quality_score
+
+    out = quality_score(_docs(spark, sf_dir), "doc_id", "text")
+    return out.select(
+        "id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        "quality")
+
+
+def _sql_quality() -> str:
+    from .operators.textstats import STOPWORDS_EN
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+WITH t AS (
+    SELECT doc_id AS id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS _t,
+           length(text) AS _chars,
+           len(regexp_extract_all(text, '[0-9]'))::BIGINT AS _digits
+    FROM documents
+),
+m AS (
+    SELECT id, len(_t)::BIGINT AS n_tokens,
+           CASE WHEN len(_t) > 0 THEN
+               list_sum(list_transform(_t, x -> length(x)))::DOUBLE / len(_t)
+           ELSE 0.0 END AS avg_token_len,
+           CASE WHEN len(_t) > 0 THEN
+               len(list_filter(_t, x -> list_contains([{sw}], x)))::DOUBLE / len(_t)
+           ELSE 0.0 END AS stopword_ratio,
+           CASE WHEN _chars > 0 THEN _digits::DOUBLE / _chars ELSE 0.0 END AS digit_ratio
+    FROM t
+)
+SELECT id, n_tokens, round(avg_token_len, 6) AS avg_token_len,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(digit_ratio, 6) AS digit_ratio,
+       round(least(n_tokens::DOUBLE / 64.0, 1.0)
+             * least(stopword_ratio * 4.0, 1.0)
+             * (1.0 - least(digit_ratio * 2.0, 1.0)), 6) AS quality
+FROM m
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    from .operators.textstats import token_counts
+
+    out = token_counts(_docs(spark, sf_dir), "doc_id", "text")
+    return out.select(
+        "id", F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_ish_tokens").cast("long").alias("bpe_ish_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"))
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id AS id,
+       len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_ish_tokens,
+       length(text)::BIGINT AS n_chars
+FROM documents
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    from .operators.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir), "doc_id", "text", k=4)
+
+
+SQL_FINGERPRINT = f"""
+WITH t AS (
+    SELECT doc_id AS id,
+           list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> x <> '')) AS _t
+    FROM documents
+)
+SELECT id,
+       array_to_string(
+           list_transform(
+               list_sort(list_transform(
+                   _t, x -> (('0x' || substr(md5(x), 1, 15))::BIGINT)))[1:4],
+               h -> h::VARCHAR),
+           '-') AS fp
+FROM t
+"""
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (binary columns)
+# ---------------------------------------------------------------------------
+
+def q_media_meta(spark, sf_dir):
+    from .operators.multimodal import attach_fake_media
+
+    media = attach_fake_media(_docs(spark, sf_dir), "doc_id", "text")
+    return media.select(
+        "id", F.octet_length("media").cast("long").alias("n_bytes"),
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"))
+
+
+SQL_MEDIA_META = """
+SELECT doc_id AS id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       (octet_length(encode(text)) % 640 + 1)::BIGINT AS width,
+       (octet_length(encode(text)) % 480 + 1)::BIGINT AS height
+FROM documents
+"""
+
+
+def q_media_features(spark, sf_dir):
+    from .operators.multimodal import attach_fake_media, extract_media_features
+
+    media = attach_fake_media(_docs(spark, sf_dir), "doc_id", "text")
+    return extract_media_features(media).select("id", "n_bytes", "content_hash")
+
+
+SQL_MEDIA_FEATURES = """
+SELECT doc_id AS id, octet_length(encode(text))::BIGINT AS n_bytes,
+       md5(text) AS content_hash
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# north-rule pipeline (rows-only: Porter stemming + compressed-index WAND
+# are not SQL-expressible; ground truth is the pytest oracle suite)
+# ---------------------------------------------------------------------------
+
+_CORPUS_CACHE: dict = {}
+
+
+def _built_corpus(spark, n_docs: int = 240):
+    key = (id(spark), n_docs)
+    if key not in _CORPUS_CACHE:
+        from .config import small_scale
+        from .corpusgen import make_corpus
+        from .operators.compress import build_compressed_index
+        from .plans.build import build_tables
+        from .schemas import DOCUMENTS
+
+        cfg = small_scale()
+        docs_df = spark.createDataFrame(make_corpus(n_docs), DOCUMENTS)
+        built = build_tables(docs_df)
+        index = build_compressed_index(
+            built.postings, built.avgdl, cfg.bm25, cfg.index).persist()
+        index.count()
+        _CORPUS_CACHE[key] = (built, index, cfg)
+    return _CORPUS_CACHE[key]
+
+
+def q_wand_search(spark, sf_dir):
+    from .operators.topk import wand_topk
+
+    built, index, cfg = _built_corpus(spark)
+    return wand_topk(index, built.dictionary, built.docs,
+                     "machine learning", built.n_docs, built.avgdl, k=10)
+
+
+def q_wand_vs_exhaustive(spark, sf_dir):
+    """Self-verifying: rows where the WAND path and the exhaustive BM25
+    path disagree on (rank, doc_id) for the reference query set.  An
+    EMPTY result is the passing state."""
+    from .operators.topk import wand_topk
+    from .plans.query import bm25_topk_exhaustive
+
+    built, index, cfg = _built_corpus(spark)
+    out = None
+    for qtext in ("cristina lopes", "machine learning", "ACM",
+                  "master of software engineering"):
+        a = wand_topk(index, built.dictionary, built.docs, qtext,
+                      built.n_docs, built.avgdl, k=10).select(
+            F.lit(qtext).alias("query"), "rank", "doc_id")
+        b = bm25_topk_exhaustive(built.postings, built.dictionary, built.docs,
+                                 qtext, built.n_docs, built.avgdl, k=10).select(
+            F.lit(qtext).alias("query"), "rank", "doc_id")
+        diff = a.exceptAll(b).unionAll(b.exceptAll(a))
+        out = diff if out is None else out.unionAll(diff)
+    return out
+
+
+def q_extract_invariant(spark, sf_dir):
+    """Self-verifying per-row invariant: rows where the Arrow-batched
+    extraction UDF's text differs from the corpus `text` column (itself
+    the oracle extractor's output).  Empty = byte-identity holds."""
+    from .corpusgen import make_corpus
+    from .functions.udfs import extract_text_udf
+    from .schemas import DOCUMENTS
+
+    docs_df = spark.createDataFrame(make_corpus(240), DOCUMENTS)
+    return (
+        docs_df.select("url", extract_text_udf("html").alias("got"), "text")
+        .filter(F.col("got") != F.col("text"))
+        .select("url")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries() -> dict:
+    return {
+        "q01_scan_filter": q_scan_filter,
+        "q02_url_defrag_valid": q_url_defrag_valid,
+        "q03_dedup_first": q_dedup_first,
+        "q04_postings": q_postings,
+        "q05_token_filter": q_token_filter,
+        "q06_dictionary": q_dictionary,
+        "q07_stats": q_stats,
+        "q08_bm25_topk": q_bm25_topk,
+        "q09_boolean_and": q_boolean_and,
+        "q10_topk_per_lang": q_topk_per_lang,
+        "q11_exact_dups": q_exact_dups,
+        "q12_ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "q13_minhash_signatures": q_minhash_signatures,
+        "q14_simhash": q_simhash,
+        "q15_knn_bruteforce": q_knn_bruteforce,
+        "q16_embedding_dups": q_embedding_dups,
+        "q17_langid": q_langid,
+        "q18_quality": q_quality,
+        "q19_token_counts": q_token_counts,
+        "q20_fingerprint": q_fingerprint,
+        "q21_media_meta": q_media_meta,
+        "q22_media_features": q_media_features,
+        "q23_wand_search": q_wand_search,
+        "q24_wand_vs_exhaustive": q_wand_vs_exhaustive,
+        "q25_extract_invariant": q_extract_invariant,
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "q01_scan_filter": SQL_SCAN_FILTER,
+        "q02_url_defrag_valid": SQL_URL_DEFRAG_VALID,
+        "q03_dedup_first": SQL_DEDUP_FIRST,
+        "q04_postings": SQL_POSTINGS,
+        "q05_token_filter": SQL_TOKEN_FILTER,
+        "q06_dictionary": SQL_DICTIONARY,
+        "q07_stats": SQL_STATS,
+        "q08_bm25_topk": SQL_BM25_TOPK,
+        "q09_boolean_and": SQL_BOOLEAN_AND,
+        "q10_topk_per_lang": SQL_TOPK_PER_LANG,
+        "q11_exact_dups": SQL_EXACT_DUPS,
+        "q12_ngram_jaccard_dups": SQL_NGRAM_JACCARD,
+        "q13_minhash_signatures": _sql_minhash(),
+        "q14_simhash": _sql_simhash(),
+        "q15_knn_bruteforce": SQL_KNN_BRUTEFORCE,
+        "q16_embedding_dups": SQL_EMBEDDING_DUPS,
+        "q17_langid": _sql_langid(),
+        "q18_quality": _sql_quality(),
+        "q19_token_counts": SQL_TOKEN_COUNTS,
+        "q20_fingerprint": SQL_FINGERPRINT,
+        "q21_media_meta": SQL_MEDIA_META,
+        "q22_media_features": SQL_MEDIA_FEATURES,
+        # q23-q25: rows-only (stemmed/compressed/WAND paths are not
+        # SQL-expressible; q24/q25 are self-verifying empty-is-pass)
+    }

@@ -151,13 +151,12 @@ def encode_chunks(doc_ids, tfs, dls, imps, avgdl: float,
     return chunks
 
 
-def decode_chunk(payload, block_sel=None, prev_last: int = 0):
+def decode_chunk(payload, block_last_doc, block_sel=None):
     """Decode selected blocks of one chunk.
 
-    block_sel: boolean mask over blocks (None = all).  Selected blocks
-    are decoded per contiguous run (delta chains only need the previous
-    block's last_doc, recovered from the header-adjacent metadata by the
-    caller via ``prev_last_for``).
+    block_last_doc: the chunk's per-block last-doc column (INDEX schema) —
+    supplies the delta base for each contiguous run of selected blocks.
+    block_sel: boolean mask over blocks (None = all).
 
     Returns (doc_ids, tfs, dls, imps) int64 arrays.
     """
@@ -200,12 +199,10 @@ def decode_chunk(payload, block_sel=None, prev_last: int = 0):
             hi = int(e[b1])
             decoded.append(vb_decode(sbuf[lo:hi], n_vals).astype(np.int64))
         gaps = decoded[0]
-        # absolute doc ids: cumsum of gaps; first gap of run needs the
-        # previous block's last doc (0 if run starts at block 0, whose
-        # first gap is stored absolute).
+        # absolute doc ids: cumsum of gaps; the run's first gap needs the
+        # previous block's last doc (block 0's first gap is absolute).
         if b0 > 0:
-            gaps = gaps.copy()
-            gaps[0] += prev_last if callable(prev_last) is False else 0
+            gaps[0] += int(block_last_doc[b0 - 1])
         outs[0].append(np.cumsum(gaps))
         for si in range(1, 4):
             outs[si].append(decoded[si])

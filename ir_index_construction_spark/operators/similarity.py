@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (array<float>).
+
+  * cosine_topk_bruteforce — exact top-k neighbors for one query vector:
+    native higher-order functions (zip_with + aggregate) compute the dot
+    product JVM-side; no Python, no shuffle beyond TakeOrdered.
+  * lsh_bucketed_topk — the scale path: random-hyperplane LSH buckets
+    prune candidates to matching buckets (multi-probe = hamming<=1),
+    then exact cosine within candidates.  Recall<1 by construction;
+    tested against brute force for recall@k.
+  * embedding_dup_pairs — all pairs with cosine >= threshold via LSH
+    candidate join (self-join on bucket), exact verify.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def _norm(col):
+    return F.sqrt(F.aggregate(col, F.lit(0.0),
+                              lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+
+def with_cosine(df: DataFrame, vec_col: str, query_vec: list) -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.sqrt(np.dot(query_vec, query_vec)))
+    return df.withColumn(
+        "cosine",
+        _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn)),
+    )
+
+
+def cosine_topk_bruteforce(df: DataFrame, id_col: str, vec_col: str,
+                           query_vec: list, k: int = 10) -> DataFrame:
+    """Exact cosine top-k: whole-stage-codegen'd dot product +
+    TakeOrderedAndProject.  The baseline every ANN variant is tested
+    against."""
+    return (
+        with_cosine(df, vec_col, query_vec)
+        .select(F.col(id_col).alias("id"), "cosine")
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _bucket_expr(vec_col: str, planes: np.ndarray):
+    """LSH bucket id = sign bits against random hyperplanes, as a native
+    expression (sum of weighted components per plane -> bit)."""
+    bits = []
+    for p_i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(w)) for w in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << p_i)).otherwise(F.lit(0)))
+    return sum(bits[1:], bits[0])
+
+
+def lsh_bucketed_topk(df: DataFrame, id_col: str, vec_col: str,
+                      query_vec: list, k: int = 10, n_planes: int = 8,
+                      dim: int | None = None, seed: int = 42) -> DataFrame:
+    """ANN top-k: candidates = vectors whose LSH bucket is within hamming
+    distance 1 of the query's bucket (multi-probe), then exact cosine.
+    At 10^12 scale the bucket column is a partition/cluster key, turning
+    the scan into partition pruning."""
+    if dim is None:
+        dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qbits = (planes @ np.asarray(query_vec, float) >= 0).astype(int)
+    qbucket = int(sum(b << i for i, b in enumerate(qbits)))
+    probe = [qbucket] + [qbucket ^ (1 << i) for i in range(n_planes)]
+
+    bucketed = df.withColumn("_bucket", _bucket_expr(vec_col, planes))
+    cand = bucketed.filter(F.col("_bucket").isin(probe))
+    return cosine_topk_bruteforce(cand, id_col, vec_col, query_vec, k)
+
+
+def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                        threshold: float = 0.95, n_planes: int = 6,
+                        dim: int = 64, seed: int = 42,
+                        exact: bool = False) -> DataFrame:
+    """Near-duplicate pairs by cosine.  exact=True does the O(n^2)
+    cross-join (oracle-checkable, test scale only); default uses the LSH
+    bucket equi-join (same-bucket candidates only)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if exact:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        planes = _hyperplanes(dim, n_planes, seed)
+        ab = df.withColumn("_bucket", _bucket_expr(vec_col, planes))
+        a = ab.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "_bucket")
+        b = ab.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "_bucket")
+        pairs = a.join(b, "_bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "cosine", _dot(F.col("va"), F.col("vb"))
+            / (_norm(F.col("va")) * _norm(F.col("vb"))))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,241 @@
+"""Block-max WAND top-k over the compressed document-sharded index.
+
+Strategy (set-at-a-time BMW — the classic document-at-a-time WAND loop
+is a per-doc Python interpreter loop, which is exactly the slow path the
+engine avoids; this formulation does the same block-level pruning with
+vectorized numpy):
+
+  1. SEED: fully score the highest-(mult*idf) query term in the shard
+     (rarest term — cheapest list, tightest scores).  If it yields >= k
+     postings, theta = its kth best score.  For every doc d, the full
+     score >= the seed partial score, so the kth best FULL score in the
+     shard >= theta: theta is a valid WAND threshold.
+  2. PRUNE: every posting of term t inside block j lies in the doc-id
+     interval (prev_block_last, block_last].  Sweep all terms' block
+     intervals (event +ub at start, -ub past end; ub = mult*idf*
+     block_max_tf_norm) to get the upper-bound coverage of every
+     elementary doc-id interval.  A block whose interval's MAX coverage
+     is STRICTLY below theta cannot contain a top-k doc and is never
+     decoded.  (Strict: an equal-ub doc could still win its tie on
+     doc_id — SURVEY.md §7.2 #4.)
+  3. SCORE: decode surviving blocks per term (contiguous-run chunk
+     decode), accumulate per-doc sums with one bincount in QUERY-TERM
+     ORDER — bit-identical float summation order to the oracle.
+  4. Shard-local top-k by (score DESC, doc_id ASC); global merge is a
+     TakeOrderedAndProject over k rows per shard.
+
+Boolean AND: pruning is disabled (a seed theta over non-candidates could
+over-prune) and candidates must match all distinct terms; any term with
+zero global postings empties the result before any job launches.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..config import BM25Config
+from ..functions.codec import bm25_tf_norm, decode_chunk
+from ..plans.query import empty_topk, query_term_idf
+from ..text.normalize import parse_query
+
+_LOCAL_SCHEMA = "doc_id long, score double"
+
+
+def _sparse_table(values: np.ndarray):
+    """O(n log n) range-max structure; query(l, r) inclusive, vectorized."""
+    tables = [values]
+    j = 1
+    n = len(values)
+    while (1 << j) <= n:
+        prev = tables[-1]
+        half = 1 << (j - 1)
+        m = n - (1 << j) + 1
+        tables.append(np.maximum(prev[:m], prev[half:half + m]))
+        j += 1
+
+    def query(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        out = np.empty(len(lo), np.float64)
+        span = hi - lo + 1
+        jj = np.int64(np.floor(np.log2(span)))
+        for level in np.unique(jj):
+            m = jj == level
+            t = tables[int(level)]
+            out[m] = np.maximum(t[lo[m]], t[hi[m] - (1 << int(level)) + 1])
+        return out
+
+    return query
+
+
+class _TermCursor:
+    """All chunks of one term within one shard, with flat block tables."""
+
+    __slots__ = ("rows", "block_last", "block_ub", "block_prev",
+                 "chunk_block_ranges", "n_postings")
+
+    def __init__(self, g: pd.DataFrame, weight: float):
+        g = g.sort_values("chunk")
+        self.rows = list(g.itertuples(index=False))
+        lasts, ubs, ranges = [], [], []
+        off = 0
+        for r in self.rows:
+            bl = np.asarray(r.block_last_doc, np.int64)
+            lasts.append(bl)
+            ubs.append(np.asarray(r.block_max_score, np.float64) * weight)
+            ranges.append((off, off + len(bl)))
+            off += len(bl)
+        self.block_last = np.concatenate(lasts)
+        self.block_ub = np.concatenate(ubs)
+        prev = np.empty_like(self.block_last)
+        prev[0] = self.rows[0].first_doc - 1
+        prev[1:] = self.block_last[:-1]
+        self.block_prev = prev
+        self.chunk_block_ranges = ranges
+        self.n_postings = int(sum(r.n_postings for r in self.rows))
+
+    def decode(self, sel: np.ndarray | None):
+        """Decode selected blocks (None = all) across chunks."""
+        docs, tfs, dls = [], [], []
+        for r, (b0, b1) in zip(self.rows, self.chunk_block_ranges):
+            csel = None if sel is None else sel[b0:b1]
+            if csel is not None and not csel.any():
+                continue
+            d, t, l, _ = decode_chunk(r.payload, r.block_last_doc, csel)
+            docs.append(d)
+            tfs.append(t)
+            dls.append(l)
+        if not docs:
+            z = np.zeros(0, np.int64)
+            return z, z, z
+        return (np.concatenate(docs), np.concatenate(tfs), np.concatenate(dls))
+
+
+def make_shard_scorer(term_meta: dict, ordered_terms: list, k: int,
+                      is_bool: bool, avgdl: float, bm25: BM25Config,
+                      stats: dict | None = None):
+    """term_meta: {term: (mult, idf)}; ordered_terms: distinct terms in
+    query order (float-sum order contract with the oracle).  `stats` is a
+    local-mode instrumentation dict (blocks_total/blocks_decoded)."""
+    k1, b = bm25.k1, bm25.b
+    n_required = len(ordered_terms)
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        cursors = {}
+        for term, g in pdf.groupby("term", sort=False):
+            mult, idf = term_meta[term]
+            cursors[term] = _TermCursor(g, mult * idf)
+        if not cursors or (is_bool and len(cursors) < n_required):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+
+        # ---- seed threshold (OR mode, multi-term) ----
+        theta = -np.inf
+        if not is_bool and len(cursors) > 1:
+            seed = max(cursors, key=lambda t: (term_meta[t][0] * term_meta[t][1], t))
+            cur = cursors[seed]
+            if cur.n_postings >= k:
+                mult, idf = term_meta[seed]
+                d, t, l = cur.decode(None)
+                s = mult * idf * bm25_tf_norm(t, l, avgdl, k1, b)
+                theta = float(np.partition(s, len(s) - k)[len(s) - k])
+
+        # ---- block pruning via interval coverage sweep ----
+        selections = {term: None for term in cursors}
+        if theta > -np.inf:
+            starts = np.concatenate([c.block_prev + 1 for c in cursors.values()])
+            ends = np.concatenate([c.block_last for c in cursors.values()])
+            ubs = np.concatenate([c.block_ub for c in cursors.values()])
+            pos = np.concatenate([starts, ends + 1])
+            delta = np.concatenate([ubs, -ubs])
+            order = np.argsort(pos, kind="stable")
+            cum = np.cumsum(delta[order])
+            uniq, cnt = np.unique(pos[order], return_counts=True)
+            cov = cum[np.cumsum(cnt) - 1]       # coverage on [uniq[i], uniq[i+1])
+            rmax = _sparse_table(cov)
+            for term, c in cursors.items():
+                lo = np.searchsorted(uniq, c.block_prev + 1, "right") - 1
+                hi = np.searchsorted(uniq, c.block_last, "right") - 1
+                keep = rmax(lo, hi) >= theta     # prune only strictly-below
+                selections[term] = keep
+                if stats is not None:
+                    stats["blocks_total"] = stats.get("blocks_total", 0) + len(keep)
+                    stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + int(keep.sum())
+        elif stats is not None:
+            nb = sum(len(c.block_last) for c in cursors.values())
+            stats["blocks_total"] = stats.get("blocks_total", 0) + nb
+            stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + nb
+
+        # ---- decode + accumulate in query-term order ----
+        all_docs, all_scores, per_term_sizes = [], [], []
+        for term in ordered_terms:
+            c = cursors.get(term)
+            if c is None:
+                continue
+            mult, idf = term_meta[term]
+            d, t, l = c.decode(selections[term])
+            all_docs.append(d)
+            all_scores.append(mult * idf * bm25_tf_norm(t, l, avgdl, k1, b))
+            per_term_sizes.append(len(d))
+        docs_cat = np.concatenate(all_docs)
+        if len(docs_cat) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        scores_cat = np.concatenate(all_scores)
+        uniq_docs, inv = np.unique(docs_cat, return_inverse=True)
+        sums = np.bincount(inv, weights=scores_cat, minlength=len(uniq_docs))
+
+        if is_bool:
+            hits = np.bincount(inv, minlength=len(uniq_docs))
+            m = hits == n_required            # (term,doc) unique => count == #terms
+            uniq_docs, sums = uniq_docs[m], sums[m]
+            if len(uniq_docs) == 0:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                     "score": pd.Series([], dtype="float64")})
+
+        order = np.lexsort((uniq_docs, -sums))[:k]
+        return pd.DataFrame({"doc_id": uniq_docs[order],
+                             "score": sums[order]})
+
+    return score_shard
+
+
+def wand_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
+              query: str, n_docs: int, avgdl: float, k: int = 10,
+              bm25: BM25Config = BM25Config()) -> DataFrame:
+    """TOPK (rank, doc_id, url, score) via the compressed index.
+
+    Plan: term-filtered scan of the index (parquet row-group pruning on
+    the term-sorted layout) -> shard-local BMW scorer (no shuffle of
+    postings; groupBy(shard) moves only the query terms' chunk rows,
+    which are already co-partitioned by shard on disk) -> global
+    TakeOrderedAndProject over <= k rows per shard -> broadcast back-join
+    for urls."""
+    spark = index.sparkSession
+    terms, is_bool = parse_query(query)
+    if not terms or n_docs == 0 or avgdl == 0:
+        return empty_topk(spark)
+
+    tf_idf = query_term_idf(spark, dictionary, terms, n_docs)
+    counts = Counter(terms)
+    ordered = [t for t in dict.fromkeys(terms) if t in tf_idf]
+    if is_bool and len(ordered) < len(counts):
+        return empty_topk(spark)          # absent AND-term (searcher.py:153-155)
+    if not ordered:
+        return empty_topk(spark)
+    term_meta = {t: (counts[t], tf_idf[t][1]) for t in ordered}
+
+    rows = index.filter(F.col("term").isin(ordered))
+    scorer = make_shard_scorer(term_meta, ordered, k, is_bool, avgdl, bm25)
+    local = rows.groupBy("shard").applyInPandas(scorer, _LOCAL_SCHEMA)
+    topk = local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    return (
+        docs.join(F.broadcast(topk), "doc_id", "inner")
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        ).cast("int"))
+        .select("rank", "doc_id", "url", "score")
+    )

@@ -1,0 +1,220 @@
+"""Resumable, checkpointed index build (north rule: a killed build
+restarts only unfinished partitions, with per-partition lineage and
+build-metrics tables).
+
+Stages and their checkpoint units:
+
+  prepare   (pid 0)        clean + dedup + dense ids -> `corpus_prepared`
+                           table with a `batch` column (contiguous doc_id
+                           ranges).  One global pass; cheap relative to
+                           extraction (no HTML parsing).
+  tokenize  (pid = batch)  per-batch fused extract+tokenize -> append to
+                           `postings` + `docs`.  The expensive stage: HTML
+                           parsing + stemming; batches bound re-work on
+                           restart.
+  stats     (pid 0)        `dictionary` + `stats` tables.
+  encode    (pid = term_bucket)  salted two-phase compressed-index encode,
+                           committed per term bucket -> `index` table.
+
+Every commit appends a `checkpoints` row; `lineage` and `metrics` rows
+ride along.  ``FaultInjector`` lets tests kill the build between commits
+and assert that a resume re-runs only pending partitions.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import BuildConfig
+from ..operators.compress import _make_encode_group, _pack_runs, _with_keys
+from ..operators.corpus import ingest
+from ..operators.postings import (
+    dictionary_table,
+    docs_table,
+    postings_from_tokenized,
+    tokenize,
+)
+from ..schemas import CHECKPOINTS, LINEAGE, METRICS, SALTED_RUNS, INDEX
+from ..sources.catalog import Catalog
+
+
+class BuildKilled(RuntimeError):
+    """Raised by FaultInjector to simulate a mid-build crash."""
+
+
+class FaultInjector:
+    def __init__(self, stage: str, after_commits: int):
+        self.stage = stage
+        self.after_commits = after_commits
+        self._seen = 0
+
+    def on_commit(self, stage: str):
+        if stage == self.stage:
+            self._seen += 1
+            if self._seen >= self.after_commits:
+                raise BuildKilled(f"injected fault after {self._seen} "
+                                  f"{stage} commits")
+
+
+class IndexBuilder:
+    def __init__(self, catalog: Catalog, cfg: BuildConfig,
+                 build_id: str = "build-0", n_batches: int = 1,
+                 fault: FaultInjector | None = None):
+        self.catalog = catalog
+        self.cfg = cfg
+        self.build_id = build_id
+        self.n_batches = n_batches
+        self.fault = fault
+
+    # ---- checkpoint ledger ----
+    def _done(self, spark: SparkSession, stage: str) -> set:
+        if not self.catalog.table_exists("checkpoints"):
+            return set()
+        rows = (
+            self.catalog.read(spark, "checkpoints")
+            .filter((F.col("build_id") == self.build_id)
+                    & (F.col("stage") == stage)
+                    & (F.col("status") == "committed"))
+            .select("partition_id").collect()
+        )
+        return {r["partition_id"] for r in rows}
+
+    def _commit(self, spark: SparkSession, stage: str, pid: int,
+                rows_in: int, rows_out: int, wall: float,
+                bytes_compressed: int = 0, docs: int = 0):
+        now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        snap = self.catalog.current_snapshot("corpus_prepared")
+        self.catalog.append_rows(spark, "checkpoints", [
+            (self.build_id, stage, pid, "committed", now)], CHECKPOINTS)
+        self.catalog.append_rows(spark, "lineage", [
+            (self.build_id, stage, pid,
+             snap["snapshot_id"] if snap else "input",
+             rows_in, rows_out)], LINEAGE)
+        wall = max(wall, 1e-9)
+        self.catalog.append_rows(spark, "metrics", [
+            (self.build_id, stage, pid, wall, docs / wall,
+             rows_out / wall, bytes_compressed)], METRICS)
+        if self.fault is not None:
+            self.fault.on_commit(stage)
+
+    # ---- stages ----
+    def _stage_prepare(self, documents: DataFrame):
+        spark = documents.sparkSession
+        if 0 in self._done(spark, "prepare"):
+            return
+        t0 = time.time()
+        rows_in = documents.count()
+        with_ids, handle = ingest(documents)
+        n = with_ids.count()
+        batch_span = max(1, -(-n // self.n_batches))   # ceil
+        prepared = with_ids.withColumn(
+            "batch", (F.col("doc_id") / F.lit(batch_span)).cast("int"))
+        self.catalog.write(prepared.select("doc_id", "batch", "url", "html"),
+                           "corpus_prepared")
+        handle.unpersist()
+        self._commit(spark, "prepare", 0, rows_in, n, time.time() - t0, docs=n)
+
+    def _stage_tokenize(self, spark: SparkSession):
+        done = self._done(spark, "tokenize")
+        prepared = self.catalog.read(spark, "corpus_prepared")
+        batches = sorted(
+            r["batch"] for r in prepared.select("batch").distinct().collect())
+        for b in batches:
+            if b in done:
+                continue
+            t0 = time.time()
+            part = prepared.filter(F.col("batch") == b)
+            tok = tokenize(part).persist()
+            postings = postings_from_tokenized(tok)
+            docs = docs_table(tok)
+            self.catalog.append(postings, "postings")
+            self.catalog.append(docs, "docs")
+            n_docs = docs.count()
+            n_post = postings.count()
+            tok.unpersist()
+            self._commit(spark, "tokenize", b, n_docs, n_post,
+                         time.time() - t0, docs=n_docs)
+
+    def _stage_stats(self, spark: SparkSession):
+        if 0 in self._done(spark, "stats"):
+            return
+        t0 = time.time()
+        postings = self.catalog.read(spark, "postings")
+        docs = self.catalog.read(spark, "docs")
+        dictionary = dictionary_table(postings)
+        self.catalog.write(dictionary, "dictionary")
+        stats = docs.agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.avg("doc_len"), F.lit(0.0)).alias("avgdl"),
+        ).withColumn("n_terms", F.lit(None).cast("long"))
+        n_terms = dictionary.count()
+        stats = stats.withColumn("n_terms", F.lit(n_terms))
+        self.catalog.write(stats, "stats")
+        self._commit(spark, "stats", 0, 0, n_terms, time.time() - t0)
+
+    def _stage_encode(self, spark: SparkSession):
+        cfg = self.cfg.index
+        done = self._done(spark, "encode")
+        pending = [tb for tb in range(cfg.term_buckets) if tb not in done]
+        if not pending:
+            return
+        stats = self.catalog.read(spark, "stats").collect()[0]
+        avgdl = float(stats["avgdl"]) or 1.0
+        postings = self.catalog.read(spark, "postings")
+        keyed = _with_keys(postings, cfg).filter(F.col("tb").isin(pending))
+        runs = keyed.groupBy("shard", "tb", "salt").applyInPandas(
+            _pack_runs, schema=SALTED_RUNS
+        ).withColumn("tb", F.pmod(F.xxhash64("term"),
+                                  F.lit(cfg.term_buckets)).cast("int"))
+        encoded = runs.groupBy("shard", "tb").applyInPandas(
+            _make_encode_group(avgdl, self.cfg.bm25, cfg), schema=INDEX
+        ).withColumn("tb", F.pmod(F.xxhash64("term"),
+                                  F.lit(cfg.term_buckets)).cast("int"))
+        encoded = encoded.persist()
+        try:
+            # one job computes all pending buckets; commits are per-bucket
+            for tb in pending:
+                t0 = time.time()
+                part = encoded.filter(F.col("tb") == tb).drop("tb")
+                part = part.repartitionByRange(
+                    max(1, spark.sparkContext.defaultParallelism // 4),
+                    "shard", "term", "chunk"
+                ).sortWithinPartitions("shard", "term", "chunk")
+                self.catalog.append(part, "index")
+                agg = part.agg(
+                    F.count("*").alias("rows"),
+                    F.coalesce(F.sum(F.octet_length("payload")), F.lit(0)).alias("bytes"),
+                    F.coalesce(F.sum("n_postings"), F.lit(0)).alias("postings"),
+                ).collect()[0]
+                self._commit(spark, "encode", tb, int(agg["postings"]),
+                             int(agg["rows"]), time.time() - t0,
+                             bytes_compressed=int(agg["bytes"]))
+        finally:
+            encoded.unpersist()
+
+    # ---- driver ----
+    def build(self, documents: DataFrame | None = None) -> None:
+        """Run all stages; resumable — committed partitions are skipped.
+        ``documents`` may be None on resume if `prepare` already committed."""
+        spark = (documents.sparkSession if documents is not None
+                 else SparkSession.getActiveSession())
+        if documents is not None:
+            self._stage_prepare(documents)
+        elif 0 not in self._done(spark, "prepare"):
+            raise ValueError("resume without documents requires a committed "
+                             "prepare stage")
+        self._stage_tokenize(spark)
+        self._stage_stats(spark)
+        self._stage_encode(spark)
+
+    # ---- read side ----
+    def tables(self, spark: SparkSession) -> dict:
+        out = {}
+        for t in ("docs", "postings", "dictionary", "stats", "index",
+                  "checkpoints", "lineage", "metrics"):
+            if self.catalog.table_exists(t):
+                out[t] = self.catalog.read(spark, t)
+        return out

@@ -80,10 +80,13 @@ def bm25_topk_exhaustive(
     )
 
     k1, b = bm25.k1, bm25.b
-    contrib = (
-        F.col("mult") * F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)
-        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)))
+    # same float op order as codec.bm25_tf_norm / the oracle:
+    # w = tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)); contrib = (mult*idf)*w
+    w = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.lit(avgdl)))
     )
+    contrib = (F.col("mult") * F.col("idf")) * w
     matches = postings.join(F.broadcast(terms_df), "term", "inner")
     scores = matches.groupBy("doc_id").agg(
         F.sum(contrib).alias("score"),

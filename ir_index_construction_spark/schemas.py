@@ -74,7 +74,7 @@ INDEX = StructType([
     StructField("shard", IntegerType(), False),
     StructField("term", StringType(), False),
     StructField("chunk", IntegerType(), False),
-    StructField("df", LongType(), False),           # term df within shard
+    StructField("df_shard", LongType(), False),     # term df within shard
     StructField("n_postings", IntegerType(), False),  # postings in this chunk
     StructField("first_doc", LongType(), False),
     StructField("last_doc", LongType(), False),

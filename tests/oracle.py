@@ -88,7 +88,11 @@ def bm25_score(index: OracleIndex, terms, doc_id: int) -> float:
         if not posting or doc_id not in posting:
             continue
         tf = posting[doc_id][0]
-        score += idf(index, t) * tf * (K1 + 1.0) / (tf + norm)
+        # canonical float op order shared with the engine (codec.bm25_tf_norm
+        # then *idf): keeps engine scores BIT-identical, and keeps the
+        # block-max bound idf*max(w) exactly monotone vs idf*w.
+        w = tf * (K1 + 1.0) / (tf + norm)
+        score += idf(index, t) * w
     return score
 
 

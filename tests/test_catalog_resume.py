@@ -1,0 +1,111 @@
+"""Catalog atomicity + resumable-build semantics (SURVEY.md §5.2 item 6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ir_index_construction_spark.config import small_scale
+from ir_index_construction_spark.plans.builder import (
+    BuildKilled,
+    FaultInjector,
+    IndexBuilder,
+)
+from ir_index_construction_spark.sources.catalog import Catalog
+
+CFG = small_scale()
+
+
+def test_catalog_snapshot_semantics(spark, tmp_path):
+    cat = Catalog(str(tmp_path / "cat"))
+    df1 = spark.range(10).withColumnRenamed("id", "x")
+    s0 = cat.write(df1, "t")
+    assert cat.read(spark, "t").count() == 10
+    s1 = cat.append(spark.range(5).withColumnRenamed("id", "x"), "t")
+    assert cat.read(spark, "t").count() == 15
+    # time travel: old snapshot still readable
+    assert cat.read(spark, "t", snapshot=s0).count() == 10
+    assert s1["parent_id"] == s0["snapshot_id"]
+    # overwrite starts fresh but history is preserved
+    cat.write(spark.range(3).withColumnRenamed("id", "x"), "t")
+    assert cat.read(spark, "t").count() == 3
+    assert len(cat.history("t")) == 3
+
+
+@pytest.fixture(scope="module")
+def full_build(spark, documents_df, tmp_path_factory):
+    """Single-shot (no fault) build — the equality reference."""
+    cat = Catalog(str(tmp_path_factory.mktemp("cat_full")))
+    b = IndexBuilder(cat, CFG, n_batches=3)
+    b.build(documents_df)
+    return b.tables(spark)
+
+
+def _collect_index(df):
+    rows = df.select("shard", "term", "chunk", "n_postings", "first_doc",
+                     "last_doc", "payload").collect()
+    return sorted(
+        (r["shard"], r["term"], r["chunk"], r["n_postings"], r["first_doc"],
+         r["last_doc"], bytes(r["payload"])) for r in rows
+    )
+
+
+def test_build_writes_all_tables(full_build):
+    for t in ("docs", "postings", "dictionary", "stats", "index",
+              "checkpoints", "lineage", "metrics"):
+        assert t in full_build, f"missing table {t}"
+    stats = full_build["stats"].collect()[0]
+    assert stats["n_docs"] > 0 and stats["avgdl"] > 0 and stats["n_terms"] > 0
+    # metrics rows carry throughput numbers per partition
+    m = full_build["metrics"].filter(F.col("stage") == "encode").collect()
+    assert len(m) == CFG.index.term_buckets
+    assert all(row["bytes_compressed"] > 0 for row in m)
+
+
+def test_kill_and_resume_runs_only_pending(spark, documents_df, tmp_path):
+    cat = Catalog(str(tmp_path / "cat_resume"))
+    # kill after the 2nd tokenize-batch commit
+    b = IndexBuilder(cat, CFG, n_batches=3,
+                     fault=FaultInjector("tokenize", after_commits=2))
+    with pytest.raises(BuildKilled):
+        b.build(documents_df)
+
+    ck = cat.read(spark, "checkpoints")
+    done_tok = {r["partition_id"] for r in
+                ck.filter(F.col("stage") == "tokenize").collect()}
+    assert done_tok == {0, 1}
+    committed_at = {
+        (r["stage"], r["partition_id"]): r["committed_at"]
+        for r in ck.collect()
+    }
+
+    # resume WITHOUT the input documents: prepare is committed, so the
+    # builder must restart from the corpus_prepared snapshot alone
+    b2 = IndexBuilder(cat, CFG, n_batches=3)
+    b2.build(None)
+
+    ck2 = cat.read(spark, "checkpoints").collect()
+    # previously committed partitions were not re-run (same timestamps)
+    for r in ck2:
+        key = (r["stage"], r["partition_id"])
+        if key in committed_at:
+            assert r["committed_at"] == committed_at[key], f"{key} re-ran"
+    done_tok2 = {r["partition_id"] for r in ck2 if r["stage"] == "tokenize"}
+    assert done_tok2 == {0, 1, 2}
+    done_enc = {r["partition_id"] for r in ck2 if r["stage"] == "encode"}
+    assert done_enc == set(range(CFG.index.term_buckets))
+
+
+def test_resumed_equals_single_shot(spark, documents_df, full_build, tmp_path):
+    cat = Catalog(str(tmp_path / "cat_eq"))
+    b = IndexBuilder(cat, CFG, n_batches=3,
+                     fault=FaultInjector("encode", after_commits=1))
+    with pytest.raises(BuildKilled):
+        b.build(documents_df)
+    b2 = IndexBuilder(cat, CFG, n_batches=3)
+    b2.build(None)
+    got = b2.tables(spark)
+
+    assert _collect_index(got["index"]) == _collect_index(full_build["index"])
+    assert sorted(map(tuple, got["docs"].collect())) == sorted(
+        map(tuple, full_build["docs"].collect()))
+    assert sorted(map(tuple, got["dictionary"].collect())) == sorted(
+        map(tuple, full_build["dictionary"].collect()))

@@ -1,0 +1,180 @@
+"""Compressed index + block-max WAND: round-trip, salting, rank identity,
+and real pruning (SURVEY.md §5.2 item 4, §7.1 steps 4-5)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ir_index_construction_spark.config import BM25Config, small_scale
+from ir_index_construction_spark.functions.codec import decode_chunk
+from ir_index_construction_spark.operators.compress import build_compressed_index
+from ir_index_construction_spark.operators.topk import make_shard_scorer, wand_topk
+from tests.conftest import QUERY_SET
+from tests.oracle import search as oracle_search
+
+CFG = small_scale()
+
+
+@pytest.fixture(scope="session")
+def index_df(built):
+    idx = build_compressed_index(
+        built.postings, built.avgdl, BM25Config(), CFG.index
+    ).persist()
+    idx.count()
+    yield idx
+    idx.unpersist()
+
+
+def test_index_roundtrip_equals_postings(built, index_df):
+    """decode(encode(postings)) == postings, with global doc_id order per
+    term and correct shard assignment."""
+    want = {}
+    for r in built.postings.collect():
+        want[(r["term"], r["doc_id"])] = (r["tf"], r["dl"])
+
+    got = {}
+    rows = index_df.collect()
+    by_term_shard = {}
+    for r in rows:
+        by_term_shard.setdefault((r["shard"], r["term"]), []).append(r)
+    for (shard, term), chunks in by_term_shard.items():
+        chunks.sort(key=lambda r: r["chunk"])
+        assert [c["chunk"] for c in chunks] == list(range(len(chunks)))
+        prev_last = -1
+        for c in chunks:
+            d, t, l, i = decode_chunk(c["payload"], c["block_last_doc"])
+            assert c["n_postings"] == len(d)
+            assert c["first_doc"] == d[0] and c["last_doc"] == d[-1]
+            assert (np.diff(d) > 0).all(), "doc_ids strictly increasing"
+            assert d[0] > prev_last, "chunks are doc-ordered"
+            prev_last = int(d[-1])
+            assert (d // CFG.index.shard_size == shard).all()
+            for dd, tt, ll in zip(d, t, l):
+                got[(term, int(dd))] = (int(tt), int(ll))
+    assert got == want
+
+
+def test_salting_spreads_head_term(built, index_df, spark):
+    """The planted head term must arrive at phase 2 as multiple salted
+    runs (the explicit skew-handling contract, SURVEY.md §4.3)."""
+    from ir_index_construction_spark.operators.compress import _pack_runs, _with_keys
+
+    keyed = _with_keys(built.postings, CFG.index)
+    runs = keyed.groupBy("shard", "tb", "salt").applyInPandas(
+        _pack_runs, schema="shard int, term string, salt int, n int, "
+                           "doc_ids binary, tfs binary, dls binary, imps binary"
+    )
+    head = runs.filter(F.col("term") == "commoncrawl")
+    per_shard = head.groupBy("shard").agg(F.countDistinct("salt").alias("s")).collect()
+    assert per_shard, "head term present"
+    assert max(r["s"] for r in per_shard) == CFG.index.salt_buckets
+
+
+@pytest.mark.parametrize("query", QUERY_SET)
+def test_wand_rank_identity(built, index_df, oracle_index, query):
+    expected = oracle_search(oracle_index, query, k=10)
+    got = wand_topk(
+        index_df, built.dictionary, built.docs, query,
+        built.n_docs, built.avgdl, k=10,
+    ).orderBy("rank").collect()
+    assert [(r["rank"], r["doc_id"], r["url"]) for r in got] == [
+        (rank, d, u) for rank, d, u, _ in expected
+    ]
+    for r, (_, _, _, score) in zip(got, expected):
+        assert math.isclose(r["score"], score, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_wand_scores_bit_identical_to_oracle(built, index_df, oracle_index):
+    """The scorer accumulates in query-term order -> EXACT float equality
+    with the oracle (not just isclose)."""
+    got = wand_topk(index_df, built.dictionary, built.docs,
+                    "master of software engineering",
+                    built.n_docs, built.avgdl, k=10).collect()
+    expected = oracle_search(oracle_index, "master of software engineering", k=10)
+    assert [r["score"] for r in sorted(got, key=lambda r: r["rank"])] == [
+        s for _, _, _, s in expected
+    ]
+
+
+def _index_rows_for(term, doc_ids, tfs, dls, avgdl, block_size=16,
+                    chunk_blocks=4):
+    import pandas as pd
+    from ir_index_construction_spark.functions.codec import encode_chunks
+
+    imps = np.full(len(doc_ids), 10, np.int64)
+    rows = []
+    for c in encode_chunks(np.asarray(doc_ids), np.asarray(tfs),
+                           np.asarray(dls), imps, avgdl=avgdl,
+                           k1=1.2, b=0.75, block_size=block_size,
+                           chunk_blocks=chunk_blocks):
+        rows.append({
+            "shard": 0, "term": term, "chunk": c["chunk"],
+            "df_shard": len(doc_ids), "n_postings": c["n_postings"],
+            "first_doc": c["first_doc"], "last_doc": c["last_doc"],
+            "payload": c["payload"], "block_last_doc": c["block_last_doc"],
+            "block_max_score": c["block_max_score"],
+        })
+    return pd.DataFrame(rows)
+
+
+def test_pruning_skips_blocks():
+    """Direct unit test of block-max pruning: one spike posting dominates,
+    k=1 -> every block whose combined upper bound is below the spike's
+    score must never be decoded."""
+    import pandas as pd
+
+    n, avgdl = 2048, 100.0
+    doc_ids = np.arange(n, dtype=np.int64)
+    dls = np.full(n, 100, np.int64)
+    tfs_a = np.ones(n, np.int64)
+    tfs_a[500] = 200                       # spike
+    tfs_b = np.ones(n, np.int64)
+    pdf = pd.concat([
+        _index_rows_for("alpha", doc_ids, tfs_a, dls, avgdl),
+        _index_rows_for("beta", doc_ids, tfs_b, dls, avgdl),
+    ])
+
+    stats = {}
+    # alpha is the rarer (higher-idf) term -> the seed; its spike sets a
+    # theta that the flat regions' combined upper bounds cannot reach
+    scorer = make_shard_scorer({"alpha": (1, 1.0), "beta": (1, 0.5)},
+                               ["alpha", "beta"], 1, False, avgdl,
+                               BM25Config(), stats=stats)
+    out = scorer(pdf)
+    assert list(out["doc_id"]) == [500]
+    # exhaustive check of the winner's score
+    w_spike = 200 * 2.2 / (200 + 1.2)
+    w_one = 1 * 2.2 / (1 + 1.2)
+    assert abs(out["score"].iloc[0] - (w_spike + 0.5 * w_one)) < 1e-12
+    # pruning must have skipped the vast majority of blocks
+    assert stats["blocks_total"] == 2 * n / 16
+    assert stats["blocks_decoded"] < stats["blocks_total"] * 0.1, stats
+
+
+def test_pruned_scorer_matches_unpruned_on_fixture(built, index_df,
+                                                   oracle_index):
+    """Integration: local scorer with pruning enabled reproduces the
+    oracle's global top-k for a multi-term query over the real index."""
+    from collections import Counter
+    import pandas as pd
+    from ir_index_construction_spark.plans.query import query_term_idf
+    from ir_index_construction_spark.text.normalize import parse_query
+
+    query = "machine learning commoncrawl"
+    terms, _ = parse_query(query)
+    idfs = query_term_idf(index_df.sparkSession, built.dictionary, terms,
+                          built.n_docs)
+    counts = Counter(terms)
+    ordered = [t for t in dict.fromkeys(terms) if t in idfs]
+    meta = {t: (counts[t], idfs[t][1]) for t in ordered}
+
+    pdf = index_df.filter(F.col("term").isin(ordered)).toPandas()
+    scorer = make_shard_scorer(meta, ordered, 10, False, built.avgdl,
+                               BM25Config())
+    allr = pd.concat([scorer(g) for _, g in pdf.groupby("shard")])
+    allr = allr.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).head(10)
+    expected = oracle_search(oracle_index, query, k=10)
+    assert list(allr["doc_id"]) == [d for _, d, _, _ in expected]

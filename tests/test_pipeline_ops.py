@@ -1,0 +1,189 @@
+"""Dedup / similarity / text-analysis / multimodal / streaming operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),      # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy dog today", "en"),  # near dup
+        (3, "el gato y el perro en la casa con los amigos", "es"),
+        (4, "der hund und die katze ist nicht ein problem", "de"),
+        (5, "completely different content about spark query engines 123", "en"),
+        (6, "the quick brown fox jumps over the lazy dog", "en"),      # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_duplicates(docs_df):
+    from ir_index_construction_spark.operators.dedup import exact_duplicates
+
+    got = exact_duplicates(docs_df, "doc_id", "text").collect()
+    assert len(got) == 1
+    assert got[0]["dup_count"] == 3 and got[0]["min_id"] == 0
+
+
+def test_ngram_jaccard_pairs(docs_df):
+    from ir_index_construction_spark.operators.dedup import ngram_jaccard_pairs
+
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs_df, "doc_id", "text",
+                                        n=3, threshold=0.3).collect()}
+    assert got[(0, 1)] == 1.0 and got[(0, 6)] == 1.0 and got[(1, 6)] == 1.0
+    assert (0, 2) in got and got[(0, 2)] < 1.0
+    assert (0, 5) not in got
+
+
+def test_minhash_lsh_finds_exact_dups(docs_df):
+    from ir_index_construction_spark.operators.dedup import minhash_lsh_pairs
+
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+           for r in minhash_lsh_pairs(docs_df, "doc_id", "text",
+                                      threshold=0.5).collect()}
+    assert got[(0, 1)] == 1.0 and got[(0, 6)] == 1.0
+    assert (3, 4) not in got
+
+
+def test_simhash_dup_invariance(docs_df):
+    from ir_index_construction_spark.operators.dedup import simhash_64
+
+    got = {r["id"]: r["simhash"] for r in
+           simhash_64(docs_df, "doc_id", "text").collect()}
+    assert got[0] == got[1] == got[6]
+    # near-dup hamming distance small, unrelated large
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(got[0], got[2]) < ham(got[0], got[5])
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    vecs[7] = vecs[3] + 0.001 * rng.standard_normal(16).astype(np.float32)  # near dup
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), vecs
+
+
+def test_cosine_topk_bruteforce(emb_df):
+    from ir_index_construction_spark.operators.similarity import cosine_topk_bruteforce
+
+    df, vecs = emb_df
+    q = vecs[3].astype(np.float64)
+    got = cosine_topk_bruteforce(df, "vec_id", "embedding",
+                                 [float(x) for x in q], k=5).collect()
+    sims = (vecs.astype(np.float64) @ q) / (
+        np.linalg.norm(vecs.astype(np.float64), axis=1) * np.linalg.norm(q))
+    want = sorted(range(50), key=lambda i: (-sims[i], i))[:5]
+    assert [r["id"] for r in got] == want
+    assert got[0]["id"] == 3 and got[1]["id"] == 7
+    for r in got:
+        assert abs(r["cosine"] - sims[r["id"]]) < 1e-9
+
+
+def test_lsh_topk_recall(emb_df):
+    from ir_index_construction_spark.operators.similarity import (
+        cosine_topk_bruteforce, lsh_bucketed_topk)
+
+    df, vecs = emb_df
+    q = [float(x) for x in vecs[3]]
+    exact = [r["id"] for r in
+             cosine_topk_bruteforce(df, "vec_id", "embedding", q, k=5).collect()]
+    approx = [r["id"] for r in
+              lsh_bucketed_topk(df, "vec_id", "embedding", q, k=5,
+                                n_planes=4).collect()]
+    # the near-identical vector must be found; recall@5 >= 0.6
+    assert 3 in approx and 7 in approx
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_embedding_dup_pairs(emb_df):
+    from ir_index_construction_spark.operators.similarity import embedding_dup_pairs
+
+    df, _ = emb_df
+    got = embedding_dup_pairs(df, "vec_id", "embedding", threshold=0.99,
+                              dim=16, exact=True).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(3, 7)]
+    lsh = embedding_dup_pairs(df, "vec_id", "embedding", threshold=0.99,
+                              dim=16, exact=False).collect()
+    assert [(r["id_a"], r["id_b"]) for r in lsh] == [(3, 7)]
+
+
+def test_language_id(docs_df):
+    from ir_index_construction_spark.operators.textstats import language_id
+
+    got = {r["id"]: r for r in language_id(docs_df, "doc_id", "text").collect()}
+    assert got[0]["lang_pred"] == "en" and got[0]["en_hits"] >= 2
+    assert got[3]["lang_pred"] == "es"
+    assert got[4]["lang_pred"] == "de"
+
+
+def test_quality_and_token_counts(docs_df):
+    from ir_index_construction_spark.operators.textstats import (
+        quality_score, token_counts)
+
+    q = {r["id"]: r for r in quality_score(docs_df, "doc_id", "text").collect()}
+    assert q[0]["n_tokens"] == 9 and q[0]["stopword_ratio"] > 0.2
+    assert 0.0 <= q[5]["quality"] <= 1.0
+    t = {r["id"]: r for r in token_counts(docs_df, "doc_id", "text").collect()}
+    assert t[0]["ws_tokens"] == 9
+    assert t[5]["bpe_ish_tokens"] == 8   # '123' is one digit-run token
+
+
+def test_fingerprint_shift_invariance(spark):
+    from ir_index_construction_spark.operators.textstats import fingerprint
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "delta gamma beta alpha"),
+         (2, "alpha beta gamma epsilon")],
+        "doc_id long, text string")
+    got = {r["id"]: r["fp"] for r in fingerprint(df, "doc_id", "text").collect()}
+    assert got[0] == got[1]          # order-insensitive
+    assert got[0] != got[2]
+
+
+def test_multimodal_plumbing(docs_df):
+    from ir_index_construction_spark.operators.multimodal import (
+        attach_fake_media, extract_media_features, frame_sample_plan)
+
+    media = attach_fake_media(docs_df, "doc_id", "text")
+    feats = {r["id"]: r for r in extract_media_features(media).collect()}
+    assert len(feats) == 7
+    assert feats[0]["content_hash"] == feats[1]["content_hash"]
+    assert feats[0]["n_bytes"] == len(
+        "the quick brown fox jumps over the lazy dog")
+    assert len(feats[0]["feature"]) == 8
+    assert all(0.0 <= x < 1.0 for x in feats[0]["feature"])
+    frames = frame_sample_plan(media, every_n=7).collect()
+    assert len(frames) > 7
+
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="NotImplementedError|codec|pillow"):
+        extract_media_features(media, decode="real").collect()
+
+
+def test_streaming_incremental(spark, tmp_path):
+    from ir_index_construction_spark.corpusgen import make_corpus
+    from ir_index_construction_spark.schemas import DOCUMENTS
+    from ir_index_construction_spark.sources.catalog import Catalog
+    from ir_index_construction_spark.streaming import incremental_index_update
+
+    cat = Catalog(str(tmp_path / "cat"))
+    inp = tmp_path / "incoming"
+    rows = make_corpus(60)
+    spark.createDataFrame(rows[:30], DOCUMENTS).write.parquet(str(inp / "f1"))
+    # first drain
+    incremental_index_update(spark, cat, str(inp) + "/*", str(tmp_path / "ck"))
+    n1 = cat.read(spark, "docs").count()
+    assert n1 > 0
+    # second file, including urls already indexed (must be skipped)
+    spark.createDataFrame(rows[20:60], DOCUMENTS).write.parquet(str(inp / "f2"))
+    incremental_index_update(spark, cat, str(inp) + "/*", str(tmp_path / "ck"))
+    docs = cat.read(spark, "docs")
+    n2 = docs.count()
+    assert n2 > n1
+    assert docs.groupBy("url").count().filter(F.col("count") > 1).count() == 0
