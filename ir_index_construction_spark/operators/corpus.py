@@ -1,10 +1,20 @@
 """Corpus ingest: defrag -> validity filter -> dedup -> dense doc ids.
 
-Covers SURVEY.md §2 O1-O5.  Everything except the urllib defrag is native
-Catalyst (whole-stage-codegen'd filters, window dedup); the dense id
-assignment is the scalable two-pass offset scheme — no single-partition
-global sort, no driver collect of data rows (only one small count per
-partition reaches the driver).
+Covers SURVEY.md §2 O1-O5.  Everything except the urllib defrag is
+native or Arrow-vectorized.
+
+Scale design (SURVEY.md §4.3): the whole O4+O5 tail — first-occurrence
+dedup AND dense deterministic id assignment — costs exactly ONE shuffle
+of the corpus.  ``repartitionByRange(url)`` co-locates equal urls and
+globally orders ranges; within each sorted partition duplicates are
+adjacent, so the same Arrow pass that attaches ids drops them (keep
+earliest ``warc_ts``).  A window-function dedup would add a second full
+shuffle of the html payload; at 100 TB that is the difference between
+one corpus pass and two.  doc_id = cumulative count of distinct urls in
+partitions left of mine + my local rank, i.e. the global url rank —
+deterministic across runs and cluster sizes (range boundaries are
+sampled, but the rank is boundary-invariant).  Only one tiny count per
+partition ever reaches the driver.
 """
 
 from __future__ import annotations
@@ -17,15 +27,11 @@ from ..functions.udfs import url_parts_udf
 from ..text.normalize import EXT_BLACKLIST_PATTERN
 
 
-def clean_corpus(documents: DataFrame) -> DataFrame:
-    """defrag + is_valid_url + first-occurrence dedup (indexer.py:95-158).
-
-    Returns (url, warc_ts, html, text, lang) with url defragmented,
-    invalid urls dropped, and exactly one row per url (earliest warc_ts
-    wins — the reference's walk-order-first rule, indexer.py:153-154).
-    """
+def defrag_and_filter(documents: DataFrame) -> DataFrame:
+    """defrag + is_valid_url (indexer.py:95-150): one Arrow pass for the
+    urllib semantics, native whole-stage-codegen'd predicates."""
     parts = documents.withColumn("_p", url_parts_udf(F.col("url")))
-    cleaned = (
+    return (
         parts
         .withColumn("url", F.col("_p.url"))
         # '...=txt' rejection: split('=')[-1] == 'txt' (indexer.py:130-132)
@@ -35,10 +41,16 @@ def clean_corpus(documents: DataFrame) -> DataFrame:
         .filter(~F.col("_p.path").rlike("^" + EXT_BLACKLIST_PATTERN))
         .drop("_p")
     )
-    # First occurrence per url; warc_ts then html as a total tie-break so
-    # the choice is deterministic even for exact-timestamp duplicates.
+
+
+def clean_corpus(documents: DataFrame) -> DataFrame:
+    """defrag + filter + window dedup (first occurrence per url by
+    warc_ts).  Kept for incremental/streaming micro-batches where the
+    input is small; the batch build uses the fused single-shuffle path
+    in ``ingest`` instead."""
     from pyspark.sql.window import Window
 
+    cleaned = defrag_and_filter(documents)
     w = Window.partitionBy("url").orderBy(F.col("warc_ts").asc(), F.col("html").asc())
     return (
         cleaned.withColumn("_rn", F.row_number().over(w))
@@ -47,31 +59,29 @@ def clean_corpus(documents: DataFrame) -> DataFrame:
     )
 
 
-def assign_doc_ids(df: DataFrame, id_partitions: int | None = None) -> DataFrame:
-    """Deterministic dense doc_id = global rank of url (SURVEY.md §4.3).
+def ingest(documents: DataFrame, id_partitions: int | None = None) -> tuple:
+    """Full O1-O5 chain, fused: returns (with_ids, persisted_handle).
 
-    Scale design: a global row_number() would sort through ONE task.
-    Instead: range-partition by url, sort within partitions, persist to
-    freeze the (sampled, hence otherwise nondeterministic) range
-    boundaries, count rows per partition (tiny driver collect), then add
-    cumulative offsets in an Arrow pass.  The resulting id depends only
-    on the url ordering, not on the partition boundaries, so it is
-    stable across runs and cluster sizes.
-
-    The returned DataFrame is persisted; caller owns unpersist.
+    One corpus shuffle total: range-partition by url + in-partition sort
+    (url, warc_ts, html) -> persist (freezes the sampled range
+    boundaries) -> per-partition distinct-url counts (tiny collect) ->
+    Arrow pass that drops adjacent duplicate urls (keep first = earliest
+    warc_ts) and attaches doc_id = global url rank.
     """
-    spark = df.sparkSession
+    spark = documents.sparkSession
+    cleaned = defrag_and_filter(documents)
     if id_partitions is None:
-        id_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+        id_partitions = max(spark.sparkContext.defaultParallelism, 8)
 
     part = (
-        df.repartitionByRange(id_partitions, "url")
-        .sortWithinPartitions("url")
+        cleaned.repartitionByRange(id_partitions, "url")
+        .sortWithinPartitions("url", "warc_ts", "html")
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = {r["_pid"]: r["n"] for r in
-              part.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+              part.groupBy("_pid").agg(
+                  F.countDistinct("url").alias("n")).collect()}
     offsets = {}
     acc = 0
     for pid in sorted(counts):
@@ -79,23 +89,32 @@ def assign_doc_ids(df: DataFrame, id_partitions: int | None = None) -> DataFrame
         acc += counts[pid]
     bc = spark.sparkContext.broadcast(offsets)
 
-    out_schema = df.schema.add("doc_id", "long", False)
+    # fresh StructType: StructType.add MUTATES the DataFrame's cached
+    # schema object, which would leak a phantom doc_id column into every
+    # later use of the same input DataFrame in this session
+    from pyspark.sql.types import LongType, StructField, StructType
+    out_schema = StructType(
+        list(documents.schema.fields) + [StructField("doc_id", LongType(), False)])
+    out_cols = [f.name for f in out_schema.fields]
 
-    def attach(batches):
+    def dedup_and_attach(batches):
         local = 0
+        last_url = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             base = bc.value[int(pdf["_pid"].iloc[0])]
-            pdf = pdf.drop(columns=["_pid"])
+            urls = pdf["url"].to_numpy()
+            keep = np.ones(len(pdf), bool)
+            if len(pdf) > 1:
+                keep[1:] = urls[1:] != urls[:-1]
+            if last_url is not None:
+                keep[0] = urls[0] != last_url
+            last_url = urls[-1]
+            pdf = pdf[keep].drop(columns=["_pid"])
             pdf["doc_id"] = np.arange(base + local, base + local + len(pdf),
                                       dtype=np.int64)
             local += len(pdf)
-            yield pdf
+            yield pdf[out_cols]
 
-    return part.mapInPandas(attach, schema=out_schema), part
-
-
-def ingest(documents: DataFrame) -> tuple:
-    """Full O1-O5 chain. Returns (with_ids, persisted_handle)."""
-    return assign_doc_ids(clean_corpus(documents))
+    return part.mapInPandas(dedup_and_attach, schema=out_schema), part

@@ -170,7 +170,7 @@ def make_shard_scorer(term_meta: dict, ordered_terms: list, k: int,
             stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + nb
 
         # ---- decode + accumulate in query-term order ----
-        all_docs, all_scores, per_term_sizes = [], [], []
+        all_docs, all_scores = [], []
         for term in ordered_terms:
             c = cursors.get(term)
             if c is None:
@@ -179,7 +179,6 @@ def make_shard_scorer(term_meta: dict, ordered_terms: list, k: int,
             d, t, l = c.decode(selections[term])
             all_docs.append(d)
             all_scores.append(mult * idf * bm25_tf_norm(t, l, avgdl, k1, b))
-            per_term_sizes.append(len(d))
         docs_cat = np.concatenate(all_docs)
         if len(docs_cat) == 0:
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),

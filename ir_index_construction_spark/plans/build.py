@@ -42,26 +42,30 @@ class BuiltTables:
 def build_tables(documents: DataFrame, persist: bool = True) -> BuiltTables:
     """documents -> (docs, postings, dictionary) + scalar stats.
 
-    Plan shape (two Python crossings, one wide shuffle):
-      scan -> url UDF -> native filters -> window dedup (shuffle on url)
-      -> two-pass dense ids (persisted) -> fused extract+tokenize UDF
-      -> explode -> postings (persisted; feeds dictionary agg, index
-      encoder, and query scans without recomputing extraction).
+    Plan shape (two Python crossings, ONE corpus shuffle):
+      scan -> url UDF -> native filters -> range-partition on url
+      (fused dedup + dense ids, single shuffle) -> fused extract+tokenize
+      UDF -> persist TOKENIZED (the expensive Python output; postings and
+      docs both derive from it narrowly, so extraction runs exactly once)
+      -> explode -> postings.  The heavy `text` column is dropped before
+      caching — the build never reads it (the extraction-invariant checks
+      use the UDF directly).
     """
     with_ids, handle = ingest(documents)
-    tokenized = tokenize(with_ids)
+    tokenized = tokenize(with_ids).drop("text")
+    if persist:
+        tokenized = tokenized.persist()
     postings = postings_from_tokenized(tokenized)
     docs = docs_table(tokenized)
-    if persist:
-        postings = postings.persist()
-        docs = docs.persist()
     dictionary = dictionary_table(postings)
     stats = stats_table(docs).collect()[0]
+    if persist:
+        handle.unpersist()      # tokenized cache supersedes the sorted corpus
     return BuiltTables(
         docs=docs,
         postings=postings,
         dictionary=dictionary,
         n_docs=stats["n_docs"],
         avgdl=float(stats["avgdl"]),
-        _handles=(handle, postings, docs) if persist else (handle,),
+        _handles=(tokenized,) if persist else (handle,),
     )

@@ -87,7 +87,13 @@ def bm25_topk_exhaustive(
         + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.lit(avgdl)))
     )
     contrib = (F.col("mult") * F.col("idf")) * w
-    matches = postings.join(F.broadcast(terms_df), "term", "inner")
+    # explicit isin() before the broadcast join: the join itself would not
+    # push term predicates into the parquet scan; the static filter does
+    # (row-group stats on the term-sorted layout skip non-query terms)
+    matches = (
+        postings.filter(F.col("term").isin(present))
+        .join(F.broadcast(terms_df), "term", "inner")
+    )
     scores = matches.groupBy("doc_id").agg(
         F.sum(contrib).alias("score"),
         F.count("*").alias("_nt"),        # (term,doc) unique -> distinct terms
