@@ -59,9 +59,13 @@ def generate_corpus(spark, n_docs: int, out_dir: str):
             rows = [make_doc(int(i)) for i in pdf["id"]]
             yield pd.DataFrame(rows)
 
-    par = spark.sparkContext.defaultParallelism
+    # fixed file count, NOT tied to this session's parallelism: the
+    # staged corpus must offer enough input splits that a higher-
+    # parallelism consumer isn't starved (small parquet files are
+    # one-row-group, hence unsplittable below file granularity)
+    par = max(64, spark.sparkContext.defaultParallelism * 2)
     (
-        spark.range(n_docs).repartition(par * 2)
+        spark.range(n_docs).repartition(par)
         .mapInPandas(gen, schema=DOCUMENTS)
         .write.mode("overwrite").parquet(out_dir)
     )
@@ -83,9 +87,16 @@ def main():
         return out
 
     n_docs = corpus_size(sf_dir)
-    workdir = tempfile.mkdtemp(prefix="ir_bench_")
-    corpus_path = os.path.join(workdir, "corpus")
-    generate_corpus(spark, n_docs, corpus_path)       # untimed staging
+    # SPARK_GRAFT_CORPUS_DIR: reusable staging dir so multi-run comparisons
+    # (BENCH/run_scaling.py) read literally identical input files
+    if staged := os.environ.get("SPARK_GRAFT_CORPUS_DIR"):
+        corpus_path = staged
+        if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+            generate_corpus(spark, n_docs, corpus_path)   # untimed staging
+    else:
+        workdir = tempfile.mkdtemp(prefix="ir_bench_")
+        corpus_path = os.path.join(workdir, "corpus")
+        generate_corpus(spark, n_docs, corpus_path)       # untimed staging
 
     from ir_index_construction_spark.operators.compress import build_compressed_index
     from ir_index_construction_spark.operators.topk import wand_topk
@@ -112,7 +123,8 @@ def main():
     built, index = timed("index_build", build)
     best = timings["index_build"]
     for _ in range(reps - 1):
-        index.unpersist()
+        index.unpersist(blocking=True)
+        built.dictionary.unpersist(blocking=True)
         built.unpersist()
         t0 = time.time()
         built, index = build()
@@ -137,7 +149,17 @@ def main():
     timings["wand_p95"] = round(sorted(lat_wand)[int(len(lat_wand) * 0.95) - 1], 4)
     timings["exhaustive_p50"] = round(statistics.median(lat_ex), 4)
 
-    # training-data operators on the driver-provided tables
+    # training-data operators on the driver-provided tables (skippable
+    # for scaling-evidence runs, which only compare the build)
+    if os.environ.get("SPARK_GRAFT_SKIP_EXTRAS"):
+        sf = 0.001 if "0.001" in sf_dir else (0.01 if "0.01" in sf_dir else 0.1)
+        print(json.dumps({
+            "metric": "index_build_and_query_seconds",
+            "value": round(sum(timings.values()), 4),
+            "unit": "sec", "queries": timings, "sf": sf, "cpus": cpus,
+            **extras,
+        }))
+        return
     docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb_tbl = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 

@@ -49,13 +49,18 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(lambda h: extract_text(h) if h is not None else "")
 
 
-def make_extract_tokenize():
-    """mapInPandas fn: (doc_id, url, html) batches -> TOKENIZED rows
-    (doc_id, url, text, dl, terms ARRAY<STRUCT<term,tf,imp>>).
+def make_extract_tokenize(passthrough: tuple = ("doc_id", "url"),
+                          emit_text: bool = True):
+    """mapInPandas fn: (*passthrough, html) batches ->
+    (*passthrough, [text,] dl, terms ARRAY<STRUCT<term,tf,imp>>).
 
     One fused Arrow pass over O6-O11 (extract zones, normalize, tokenize,
     stem with memo, validity-filter, per-doc tf/imp accumulation —
-    indexer.py:175-228 semantics via the shared text layer)."""
+    indexer.py:175-228 semantics via the shared text layer).
+
+    emit_text=False skips Arrow-transferring the extracted full text
+    (roughly html-sized) when the caller only needs term stats — the
+    batch index build's hot path."""
 
     def extract_tokenize(batches):
         stemmer = make_cached_stemmer()   # memo shared across the partition
@@ -68,18 +73,18 @@ def make_extract_tokenize():
                     terms_col.append([])
                     continue
                 text, zones = extract_text_and_zones(h)
-                texts.append(text)
+                if emit_text:
+                    texts.append(text)
                 stats = doc_term_stats(zones, stemmer)
                 dls.append(sum(tf for tf, _ in stats.values()))
                 terms_col.append(
                     [{"term": t, "tf": v[0], "imp": v[1]} for t, v in stats.items()]
                 )
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "url": pdf["url"],
-                "text": texts,
-                "dl": pd.Series(dls, dtype="int32"),
-                "terms": terms_col,
-            })
+            out = {c: pdf[c] for c in passthrough}
+            if emit_text:
+                out["text"] = texts
+            out["dl"] = pd.Series(dls, dtype="int32")
+            out["terms"] = terms_col
+            yield pd.DataFrame(out)
 
     return extract_tokenize

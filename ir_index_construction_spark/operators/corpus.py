@@ -59,23 +59,29 @@ def clean_corpus(documents: DataFrame) -> DataFrame:
     )
 
 
-def ingest(documents: DataFrame, id_partitions: int | None = None) -> tuple:
-    """Full O1-O5 chain, fused: returns (with_ids, persisted_handle).
+def dedup_assign_ids(df: DataFrame, sort_cols: list | None = None,
+                     id_partitions: int | None = None) -> tuple:
+    """First-occurrence dedup + dense deterministic doc_id for any
+    DataFrame with a ``url`` column.  Returns (with_ids, persisted_handle);
+    caller owns ``handle.unpersist()`` once with_ids is materialized.
 
-    One corpus shuffle total: range-partition by url + in-partition sort
-    (url, warc_ts, html) -> persist (freezes the sampled range
-    boundaries) -> per-partition distinct-url counts (tiny collect) ->
-    Arrow pass that drops adjacent duplicate urls (keep first = earliest
-    warc_ts) and attaches doc_id = global url rank.
+    One shuffle of df total: range-partition by url + in-partition sort
+    (url, warc_ts, ...) -> persist (freezes the sampled range boundaries
+    so the count and attach passes see the same partitioning) -> per-
+    partition distinct-url counts (tiny collect) -> Arrow pass that drops
+    adjacent duplicate urls (keep first = earliest warc_ts) and attaches
+    doc_id = global url rank (boundary-invariant, stable across runs and
+    cluster sizes).
     """
-    spark = documents.sparkSession
-    cleaned = defrag_and_filter(documents)
+    spark = df.sparkSession
+    if sort_cols is None:
+        sort_cols = ["url", "warc_ts"]
     if id_partitions is None:
         id_partitions = max(spark.sparkContext.defaultParallelism, 8)
 
     part = (
-        cleaned.repartitionByRange(id_partitions, "url")
-        .sortWithinPartitions("url", "warc_ts", "html")
+        df.repartitionByRange(id_partitions, "url")
+        .sortWithinPartitions(*sort_cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -94,7 +100,7 @@ def ingest(documents: DataFrame, id_partitions: int | None = None) -> tuple:
     # later use of the same input DataFrame in this session
     from pyspark.sql.types import LongType, StructField, StructType
     out_schema = StructType(
-        list(documents.schema.fields) + [StructField("doc_id", LongType(), False)])
+        list(df.schema.fields) + [StructField("doc_id", LongType(), False)])
     out_cols = [f.name for f in out_schema.fields]
 
     def dedup_and_attach(batches):
@@ -118,3 +124,16 @@ def ingest(documents: DataFrame, id_partitions: int | None = None) -> tuple:
             yield pdf[out_cols]
 
     return part.mapInPandas(dedup_and_attach, schema=out_schema), part
+
+
+def ingest(documents: DataFrame, id_partitions: int | None = None) -> tuple:
+    """Full O1-O5 chain over raw documents: defrag + filter + dedup +
+    dense ids.  Returns (with_ids, persisted_handle).
+
+    Used by the resumable builder (which checkpoints the prepared corpus
+    with html for per-batch re-tokenization).  The batch build uses the
+    tokenize-first path in plans/build.py instead, which never shuffles
+    or caches html."""
+    cleaned = defrag_and_filter(documents)
+    return dedup_assign_ids(cleaned, ["url", "warc_ts", "html"],
+                            id_partitions)

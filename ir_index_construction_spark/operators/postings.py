@@ -8,6 +8,7 @@ exist here: Spark's shuffle IS the k-way sorted merge.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StringType, StructField, StructType, TimestampType
 
 from ..functions.udfs import make_extract_tokenize
 from ..schemas import TOKENIZED
@@ -19,6 +20,27 @@ def tokenize(corpus_with_ids: DataFrame) -> DataFrame:
     into Python."""
     return corpus_with_ids.select("doc_id", "url", "html").mapInPandas(
         make_extract_tokenize(), schema=TOKENIZED
+    )
+
+
+def tokenize_corpus(cleaned: DataFrame) -> DataFrame:
+    """Pre-id tokenization: (url, warc_ts, html, ...) ->
+    (url, warc_ts, dl, terms).  The batch build's hot path (SURVEY.md
+    §3.1): extraction runs BEFORE the dedup/id shuffle so the html
+    column is read once from parquet and never shuffled or cached, and
+    the extracted full text never crosses Arrow (emit_text=False) — the
+    downstream shuffle carries per-doc term stats, typically 5-10x
+    smaller than the raw page.  Duplicate urls (<~5% of a crawl) are
+    extracted redundantly and dropped by the dedup pass after — cheaper
+    than shuffling every page's html to dedup first."""
+    out_schema = StructType(
+        [StructField("url", StringType(), False),
+         StructField("warc_ts", TimestampType(), False)]
+        + [f for f in TOKENIZED.fields if f.name in ("dl", "terms")])
+    return cleaned.select("url", "warc_ts", "html").mapInPandas(
+        make_extract_tokenize(passthrough=("url", "warc_ts"),
+                              emit_text=False),
+        schema=out_schema,
     )
 
 

@@ -12,13 +12,13 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..operators.corpus import ingest
+from ..operators.corpus import dedup_assign_ids, defrag_and_filter
 from ..operators.postings import (
     dictionary_table,
     docs_table,
     postings_from_tokenized,
     stats_table,
-    tokenize,
+    tokenize_corpus,
 )
 
 
@@ -34,7 +34,7 @@ class BuiltTables:
     def unpersist(self):
         for h in self._handles:
             try:
-                h.unpersist()
+                h.unpersist(blocking=True)
             except Exception:
                 pass
 
@@ -42,30 +42,50 @@ class BuiltTables:
 def build_tables(documents: DataFrame, persist: bool = True) -> BuiltTables:
     """documents -> (docs, postings, dictionary) + scalar stats.
 
-    Plan shape (two Python crossings, ONE corpus shuffle):
-      scan -> url UDF -> native filters -> range-partition on url
-      (fused dedup + dense ids, single shuffle) -> fused extract+tokenize
-      UDF -> persist TOKENIZED (the expensive Python output; postings and
-      docs both derive from it narrowly, so extraction runs exactly once)
-      -> explode -> postings.  The heavy `text` column is dropped before
-      caching — the build never reads it (the extraction-invariant checks
-      use the UDF directly).
+    Plan shape — TOKENIZE-FIRST with a projected id pass (SURVEY.md
+    §3.1; the design that holds at 100 TB: raw html is read once from
+    parquet and never shuffled or cached, and nothing heavier than
+    (url, warc_ts) ever enters the id machinery):
+
+      id pass   scan (url, warc_ts ONLY — column pruning skips html)
+                -> url UDF -> native filters -> range-partition dedup +
+                dense-id Arrow pass over the tiny projection
+                => key_ids(url, warc_ts, doc_id), first occurrence per url
+      extract   scan -> url UDF -> native filters
+                -> fused extract+tokenize UDF (emit_text=False: neither
+                html nor full text ever crosses Arrow outward) [narrow]
+      attach    join tok_raw with key_ids on (url, warc_ts) — inner join
+                drops duplicate-url occurrences; Catalyst/AQE picks
+                broadcast at small scale (no shuffle of the fat side at
+                all) or a shuffled join at cluster scale (the tokenized
+                rows, 5-10x smaller than html, shuffle exactly once)
+      persist   with_ids (dl, terms, doc_id) -> explode -> postings.
+
+    Duplicate urls (<~5% of a crawl) are extracted redundantly before
+    the join drops them — cheaper than shuffling every page's html just
+    to dedup first.
     """
-    with_ids, handle = ingest(documents)
-    tokenized = tokenize(with_ids).drop("text")
+    cleaned = defrag_and_filter(documents)
+    key_ids, handle = dedup_assign_ids(
+        cleaned.select("url", "warc_ts"), ["url", "warc_ts"])
+    tok_raw = tokenize_corpus(cleaned)
+    with_ids = tok_raw.join(key_ids, ["url", "warc_ts"], "inner")
     if persist:
-        tokenized = tokenized.persist()
-    postings = postings_from_tokenized(tokenized)
-    docs = docs_table(tokenized)
+        with_ids = with_ids.persist()
+    postings = postings_from_tokenized(with_ids)
+    docs = docs_table(with_ids)
     dictionary = dictionary_table(postings)
     stats = stats_table(docs).collect()[0]
     if persist:
-        handle.unpersist()      # tokenized cache supersedes the sorted corpus
+        # with_ids is materialized (stats ran); the id-pass cache is now
+        # redundant — free it synchronously so repeated builds in one
+        # session don't accumulate heap
+        handle.unpersist(blocking=True)
     return BuiltTables(
         docs=docs,
         postings=postings,
         dictionary=dictionary,
         n_docs=stats["n_docs"],
         avgdl=float(stats["avgdl"]),
-        _handles=(tokenized,) if persist else (handle,),
+        _handles=(with_ids,) if persist else (handle,),
     )

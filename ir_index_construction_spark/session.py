@@ -25,6 +25,11 @@ def get_spark(app_name: str = "ir-index-construction-spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # smaller scan splits: the Python-UDF extraction stage needs at
+        # least one task per core even on modestly-sized inputs; at
+        # cluster scale files are >=128MB and this only adds tasks, never
+        # starves them
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
