@@ -38,6 +38,37 @@ REFERENCE_QUERIES = ["cristina lopes", "machine learning", "ACM",
                      "master of software engineering"]
 
 
+def proc_tree_cpu_sec() -> float:
+    """Cumulative CPU seconds of THIS process tree (python + the py4j JVM
+    + its python workers), read from /proc while everyone is still alive.
+    Lets an outer harness attribute host-busy time to us vs co-tenants."""
+    hz = os.sysconf("SC_CLK_TCK")
+    procs = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            # fields after comm: state ppid ... utime(11) stime(12) cutime(13) cstime(14)
+            procs[int(pid)] = (int(parts[1]),
+                               sum(int(parts[i]) for i in (11, 12, 13, 14)))
+        except (OSError, IndexError, ValueError):
+            continue
+    children = {}
+    for pid, (ppid, _) in procs.items():
+        children.setdefault(ppid, []).append(pid)
+    total, stack, seen = 0, [os.getpid()], set()
+    while stack:
+        pid = stack.pop()
+        if pid in seen or pid not in procs:
+            continue
+        seen.add(pid)
+        total += procs[pid][1]
+        stack.extend(children.get(pid, []))
+    return total / hz
+
+
 def corpus_size(sf_dir: str) -> int:
     if env := os.environ.get("SPARK_GRAFT_BENCH_DOCS"):
         return int(env)
@@ -153,6 +184,7 @@ def main():
     # for scaling-evidence runs, which only compare the build)
     if os.environ.get("SPARK_GRAFT_SKIP_EXTRAS"):
         sf = 0.001 if "0.001" in sf_dir else (0.01 if "0.01" in sf_dir else 0.1)
+        extras["proc_tree_cpu_sec"] = round(proc_tree_cpu_sec(), 1)
         print(json.dumps({
             "metric": "index_build_and_query_seconds",
             "value": round(sum(timings.values()), 4),
@@ -184,6 +216,7 @@ def main():
     timed("quality", lambda: quality_score(docs_tbl, "doc_id", "text").count())
 
     sf = 0.001 if "0.001" in sf_dir else (0.01 if "0.01" in sf_dir else 0.1)
+    extras["proc_tree_cpu_sec"] = round(proc_tree_cpu_sec(), 1)
     print(json.dumps({
         "metric": "index_build_and_query_seconds",
         "value": round(sum(timings.values()), 4),
