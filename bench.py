@@ -177,7 +177,12 @@ def main():
                                  q, built.n_docs, built.avgdl, k=10).collect()
             lat_ex.append(time.time() - t0)
     timings["wand_p50"] = round(statistics.median(lat_wand), 4)
-    timings["wand_p95"] = round(sorted(lat_wand)[int(len(lat_wand) * 0.95) - 1], 4)
+    # nearest-rank p95: ceil(0.95*n)-1; for n<=20 this is max(lat) — the
+    # honest tail statistic at small sample sizes (ADVICE.md: the old
+    # int(n*0.95)-1 picked ~p87 at n=12)
+    import math as _math
+    p95_idx = min(len(lat_wand) - 1, _math.ceil(0.95 * len(lat_wand)) - 1)
+    timings["wand_p95"] = round(sorted(lat_wand)[p95_idx], 4)
     timings["exhaustive_p50"] = round(statistics.median(lat_ex), 4)
 
     # training-data operators on the driver-provided tables (skippable

@@ -276,10 +276,13 @@ def q_bm25_topk(spark, sf_dir):
     scores = matches.groupBy("doc_id").agg(
         F.round(F.sum(F.col("idf") * w), 6).alias("score")
     )
+    # orderBy().limit(k) = TakeOrderedAndProject (per-partition heap +
+    # driver merge); the window rank then runs over <= 10 rows, never the
+    # full scored set (mirrors plans/query.py:104-113)
+    topk = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
     win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (
-        scores.withColumn("rank", F.row_number().over(win).cast("long"))
-        .filter(F.col("rank") <= 10)
+        topk.withColumn("rank", F.row_number().over(win).cast("long"))
         .select("rank", "doc_id", "score")
     )
 
@@ -703,8 +706,14 @@ def q_wand_search(spark, sf_dir):
 
 def q_wand_vs_exhaustive(spark, sf_dir):
     """Self-verifying: rows where the WAND path and the exhaustive BM25
-    path disagree on (rank, doc_id) for the reference query set.  An
-    EMPTY result is the passing state."""
+    path disagree on the top-k SET or on scores beyond 1e-9 for the
+    reference query set.  An EMPTY result is the passing state.
+
+    Compared on (doc_id membership, |score delta|), not exact rank: the
+    exhaustive path's distributed F.sum adds float contributions in
+    shuffle order, so an exact-tie rank could flap by 1 ulp across runs
+    (ADVICE.md); the WAND path's bincount order is fixed.  Same-set plus
+    score agreement to 1e-9 is the flap-proof equivalent check."""
     from .operators.topk import wand_topk
     from .plans.query import bm25_topk_exhaustive
 
@@ -714,11 +723,21 @@ def q_wand_vs_exhaustive(spark, sf_dir):
                   "master of software engineering"):
         a = wand_topk(index, built.dictionary, built.docs, qtext,
                       built.n_docs, built.avgdl, k=10).select(
-            F.lit(qtext).alias("query"), "rank", "doc_id")
+            F.lit(qtext).alias("query"), "doc_id",
+            F.col("score").alias("score_wand"))
         b = bm25_topk_exhaustive(built.postings, built.dictionary, built.docs,
                                  qtext, built.n_docs, built.avgdl, k=10).select(
-            F.lit(qtext).alias("query"), "rank", "doc_id")
-        diff = a.exceptAll(b).unionAll(b.exceptAll(a))
+            F.lit(qtext).alias("query"), "doc_id",
+            F.col("score").alias("score_ex"))
+        diff = (
+            a.join(b, ["query", "doc_id"], "full_outer")
+            .filter(
+                F.col("score_wand").isNull()
+                | F.col("score_ex").isNull()
+                | (F.abs(F.col("score_wand") - F.col("score_ex")) > 1e-9)
+            )
+            .select("query", "doc_id")
+        )
         out = diff if out is None else out.unionAll(diff)
     return out
 

@@ -69,6 +69,14 @@ def build_tables(documents: DataFrame, persist: bool = True) -> BuiltTables:
     key_ids, handle = dedup_assign_ids(
         cleaned.select("url", "warc_ts"), ["url", "warc_ts"])
     tok_raw = tokenize_corpus(cleaned)
+    # exact re-fetches (identical url AND warc_ts) collapse to ONE key_ids
+    # row but would match the inner join twice, duplicating the doc's
+    # postings; dedup the attach side on the join key.  Terms are a
+    # deterministic function of html, so for true re-fetches any survivor
+    # is identical; the aggregate shuffles on exactly the join keys, so
+    # at cluster scale the join reuses its output partitioning (no extra
+    # exchange of the tokenized rows).
+    tok_raw = tok_raw.dropDuplicates(["url", "warc_ts"])
     with_ids = tok_raw.join(key_ids, ["url", "warc_ts"], "inner")
     if persist:
         with_ids = with_ids.persist()

@@ -55,6 +55,7 @@ QUERY_SET = [
     "ACM",
     "master of software engineering",
     "commoncrawl",                      # planted head term (skew)
+    "learning machine learning",        # repeated non-adjacent term (mult=2)
     "machine AND learning",
     "software AND 2024",
     "machine AND zzzymissing",          # absent AND-term -> []

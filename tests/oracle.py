@@ -78,21 +78,29 @@ def idf(index: OracleIndex, term: str) -> float:
 
 
 def bm25_score(index: OracleIndex, terms, doc_id: int) -> float:
-    """Sum over the query-term LIST (duplicate query terms contribute
-    twice), in list order — matches the engine scorer's summation order."""
+    """Canonical summation order: one contribution per DISTINCT term in
+    first-occurrence query order, each weighted (mult*idf)*w where mult
+    is the term's multiplicity in the query list.  This is exactly the
+    engine scorer's accumulation (operators/topk.py decodes each distinct
+    term once and multiplies by mult), so scores stay BIT-identical even
+    for queries with repeated non-adjacent terms ('learning machine
+    learning')."""
     dl = index.doc_len[doc_id]
     norm = K1 * (1.0 - B + B * (dl / index.avgdl if index.avgdl else 0.0))
-    score = 0.0
+    counts: dict = {}
     for t in terms:
+        counts[t] = counts.get(t, 0) + 1
+    score = 0.0
+    for t in dict.fromkeys(terms):
         posting = index.postings.get(t)
         if not posting or doc_id not in posting:
             continue
         tf = posting[doc_id][0]
         # canonical float op order shared with the engine (codec.bm25_tf_norm
-        # then *idf): keeps engine scores BIT-identical, and keeps the
-        # block-max bound idf*max(w) exactly monotone vs idf*w.
+        # then *(mult*idf)): keeps engine scores BIT-identical, and keeps
+        # the block-max bound idf*max(w) exactly monotone vs idf*w.
         w = tf * (K1 + 1.0) / (tf + norm)
-        score += idf(index, t) * w
+        score += (counts[t] * idf(index, t)) * w
     return score
 
 

@@ -58,6 +58,36 @@ def test_dictionary_matches_oracle(built, oracle_index):
     assert got == want
 
 
+def test_exact_refetch_not_double_counted(spark, corpus_rows):
+    """An exact re-fetch (identical url AND warc_ts AND html twice in the
+    input) must yield exactly one docs row and one set of postings — the
+    attach join dedups on the join key (ADVICE.md: corpusgen never
+    generates this case, so it's planted here)."""
+    from ir_index_construction_spark.plans.build import build_tables
+    from ir_index_construction_spark.schemas import DOCUMENTS
+
+    rows = corpus_rows[:40]
+    doubled = rows + [dict(rows[3]), dict(rows[7])]   # exact re-fetches
+    dup_urls = {rows[3]["url"], rows[7]["url"]}
+
+    base = build_tables(spark.createDataFrame(rows, DOCUMENTS), persist=False)
+    got = build_tables(spark.createDataFrame(doubled, DOCUMENTS), persist=False)
+    try:
+        assert got.n_docs == base.n_docs
+        base_docs = {(r["doc_id"], r["url"], r["doc_len"])
+                     for r in base.docs.collect()}
+        got_docs = {(r["doc_id"], r["url"], r["doc_len"])
+                    for r in got.docs.collect()}
+        assert got_docs == base_docs
+        dup_ids = [d for d, u, _ in got_docs if u in dup_urls]
+        n_base = base.postings.filter(F.col("doc_id").isin(dup_ids)).count()
+        n_got = got.postings.filter(F.col("doc_id").isin(dup_ids)).count()
+        assert n_base == n_got > 0
+    finally:
+        base.unpersist()
+        got.unpersist()
+
+
 @pytest.mark.parametrize("query", QUERY_SET)
 def test_rank_identity_exhaustive(built, oracle_index, query):
     from ir_index_construction_spark.plans.query import bm25_topk_exhaustive
