@@ -320,6 +320,103 @@ LIMIT 10
 """
 
 
+def q_weighted_topk(spark, sf_dir):
+    """O26 as the reference actually ranks: BM25 x tag-importance.  The
+    testdata documents table has no HTML zones, so the zone scheme is
+    positional and SQL-expressible: the first 8 tokens of a document are
+    its 'title zone' (weight 20), the rest default weight 10;
+    imp(term, doc) = max zone weight over occurrences (indexer.py:
+    197-201 semantics), contribution = idf * w * (imp/10)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), _NORM_RE, " ")),
+                r"\s+",
+            )
+        ).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    n_docs = docs.count()
+    postings = toks.groupBy("term", "doc_id").agg(
+        F.count("*").alias("tf"),
+        F.max(F.when(F.col("pos") < 8, 20).otherwise(10)).alias("imp"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = toks.count() / n_docs
+    dictionary = postings.groupBy("term").agg(F.count("*").alias("df"))
+
+    terms = spark.createDataFrame([(t,) for t in BM25_QUERY_TERMS], "term string")
+    tdf = dictionary.join(F.broadcast(terms), "term").withColumn(
+        "idf", F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    )
+    matches = (
+        postings.join(F.broadcast(tdf.select("term", "idf")), "term")
+        .join(dl, "doc_id")
+    )
+    w = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+    )
+    scores = matches.groupBy("doc_id").agg(
+        F.round(F.sum(F.col("idf") * w * (F.col("imp") / F.lit(10.0))), 6).alias("score")
+    )
+    topk = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(win).cast("long"))
+        .select("rank", "doc_id", "score")
+    )
+
+
+SQL_WEIGHTED_TOPK = f"""
+WITH t AS (
+    SELECT doc_id,
+           string_split_regex(
+               trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')),
+               '\\s+') AS _t
+    FROM documents
+),
+toksp AS (
+    SELECT doc_id, _t[i + 1] AS term, i AS pos
+    FROM t, unnest(range(0, len(_t))) AS u(i)
+    WHERE _t[i + 1] <> ''
+),
+postings AS (
+    SELECT term, doc_id, count(*)::BIGINT AS tf,
+           max(CASE WHEN pos < 8 THEN 20 ELSE 10 END) AS imp
+    FROM toksp GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toksp GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM toksp)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q AS (
+    SELECT d.term, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+    FROM dict d, consts c
+    WHERE d.term IN {tuple(BM25_QUERY_TERMS)!r}
+),
+scores AS (
+    SELECT p.doc_id,
+           round(sum(q.idf * ((p.tf * {K1 + 1.0}) /
+                 (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))))
+                 * (p.imp / 10.0)), 6) AS score
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+    GROUP BY p.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, score
+FROM scores
+ORDER BY rank
+LIMIT 10
+"""
+
+
 def q_boolean_and(spark, sf_dir):
     toks = _tokens(_docs(spark, sf_dir)).select("term", "doc_id").distinct()
     terms = spark.createDataFrame([(t,) for t in BM25_QUERY_TERMS], "term string")
@@ -742,6 +839,96 @@ def q_wand_vs_exhaustive(spark, sf_dir):
     return out
 
 
+_UNSTEMMED_CACHE: dict = {}
+
+
+def _unstemmed_index(spark, sf_dir):
+    """Compressed block-max index over the testdata documents table with
+    the O8 tokenizer and NO stemming — every piece of the scale path
+    (salted encode, delta+varbyte, sharding, WAND) becomes fully
+    ANSI-SQL-expressible, so the driver's DuckDB gate can hash-check it
+    (VERDICT r1 item 2: previously the hard oracle never touched the
+    compressed index)."""
+    key = (id(spark), sf_dir)
+    if key not in _UNSTEMMED_CACHE:
+        from .config import IndexConfig
+        from .operators.compress import build_compressed_index
+
+        docs = _docs(spark, sf_dir)
+        toks = _tokens(docs)
+        postings = (
+            toks.groupBy("term", "doc_id")
+            .agg(F.count("*").cast("int").alias("tf"))
+            .withColumn("imp", F.lit(10).cast("int"))
+        )
+        dl = toks.groupBy("doc_id").agg(F.count("*").cast("int").alias("dl"))
+        postings = postings.join(dl, "doc_id").select(
+            "term", "doc_id", "tf", "imp", "dl")
+        n_docs = docs.count()
+        avgdl = toks.count() / n_docs
+        cfg = IndexConfig(shard_size=512, block_size=64, chunk_blocks=32,
+                          salt_buckets=4, term_buckets=8)
+        index = build_compressed_index(postings, avgdl, cfg=cfg).persist()
+        index.count()
+        dictionary = postings.groupBy("term").agg(
+            F.count("*").alias("df")).persist()
+        docs_dim = docs.select(
+            "doc_id", F.col("doc_id").cast("string").alias("url"))
+        _UNSTEMMED_CACHE[key] = (index, dictionary, docs_dim, n_docs, avgdl)
+    return _UNSTEMMED_CACHE[key]
+
+
+def q_wand_unstemmed(spark, sf_dir):
+    """Block-max WAND top-10 over the compressed unstemmed index;
+    DuckDB recomputes the identical BM25 exhaustively (the WAND pruning
+    must be score-lossless)."""
+    from .operators.topk import wand_topk
+
+    index, dictionary, docs_dim, n_docs, avgdl = _unstemmed_index(spark, sf_dir)
+    out = wand_topk(index, dictionary, docs_dim, " ".join(BM25_QUERY_TERMS),
+                    n_docs, avgdl, k=10,
+                    pre_parsed=(list(BM25_QUERY_TERMS), False))
+    return out.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id",
+        F.round("score", 6).alias("score"))
+
+
+# Ranks on the UNROUNDED score (as WAND does natively); round(_, 6) only
+# in the output projection.  SQL_BM25_TOPK instead rounds before ranking
+# because its Spark twin q08 does too.
+SQL_WAND_UNSTEMMED = f"""
+WITH {SQL_TOKS},
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks2 GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM toks2)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q AS (
+    SELECT d.term, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+    FROM dict d, consts c
+    WHERE d.term IN {tuple(BM25_QUERY_TERMS)!r}
+),
+scores AS (
+    SELECT p.doc_id,
+           sum(q.idf * ((p.tf * {K1 + 1.0}) /
+                 (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))))) AS score
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+    GROUP BY p.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores
+ORDER BY rank
+LIMIT 10
+"""
+
+
 def q_extract_invariant(spark, sf_dir):
     """Self-verifying per-row invariant: rows where the Arrow-batched
     extraction UDF's text differs from the corpus `text` column (itself
@@ -789,6 +976,8 @@ def queries() -> dict:
         "q23_wand_search": q_wand_search,
         "q24_wand_vs_exhaustive": q_wand_vs_exhaustive,
         "q25_extract_invariant": q_extract_invariant,
+        "q26_weighted_topk": q_weighted_topk,
+        "q27_wand_unstemmed": q_wand_unstemmed,
     }
 
 
@@ -817,5 +1006,9 @@ def oracle_sql() -> dict:
         "q21_media_meta": SQL_MEDIA_META,
         "q22_media_features": SQL_MEDIA_FEATURES,
         # q23-q25: rows-only (stemmed/compressed/WAND paths are not
-        # SQL-expressible; q24/q25 are self-verifying empty-is-pass)
+        # SQL-expressible; q24/q25 are self-verifying empty-is-pass).
+        # q27 closes the gap: the same compressed-index WAND machinery,
+        # unstemmed, hash-checked against DuckDB.
+        "q26_weighted_topk": SQL_WEIGHTED_TOPK,
+        "q27_wand_unstemmed": SQL_WAND_UNSTEMMED,
     }

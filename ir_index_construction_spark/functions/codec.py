@@ -25,11 +25,15 @@ absolute.  Because deltas are ordinary first differences, decoding block
 b standalone only needs the previous block's last doc_id, which lives in
 the chunk's ``block_last_doc`` column — no in-payload fixups.
 
-Block-max metadata: per block we store the BM25 term-frequency
-normalization upper bound  max(tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))).
-It is idf-free, so the encoder never needs the global document
-frequency; the query multiplies by idf(term) at run time and the product
-is an exact upper bound on any member posting's score (WAND safety).
+Block-max metadata: per block we store TWO idf-free upper bounds —
+``block_max_score``  = max w,            w = tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))
+``block_max_wscore`` = max w*(imp/10),   the tag-importance-weighted bound
+(imp = max zone weight per (term,doc), reference indexer.py:55-63;
+imp/10 = 1.0 for default-zone text, so weighted == plain BM25 on
+unimportant text).  Both are idf-free, so the encoder never needs the
+global document frequency; the query multiplies by mult*idf(term) at
+run time and the product is an exact upper bound on any member
+posting's (weighted) score — WAND safety in either scoring mode.
 """
 
 from __future__ import annotations
@@ -107,6 +111,9 @@ def encode_chunks(doc_ids, tfs, dls, imps, avgdl: float,
 
     gaps = np.diff(doc_ids, prepend=np.int64(0))
     weights = bm25_tf_norm(tfs, dls, avgdl, k1, b)
+    # importance-weighted variant: same canonical float op order as the
+    # scorers (w first, then * (imp/10.0))
+    wweights = weights * (imps.astype(np.float64) / 10.0)
 
     n_blocks_total = (n + block_size - 1) // block_size
     block_bounds = np.minimum(np.arange(1, n_blocks_total + 1) * block_size, n)
@@ -114,6 +121,7 @@ def encode_chunks(doc_ids, tfs, dls, imps, avgdl: float,
     block_last = doc_ids[block_bounds - 1]
     block_n = (block_bounds - block_starts).astype(np.uint16)
     block_maxw = np.maximum.reduceat(weights, block_starts)
+    block_maxww = np.maximum.reduceat(wweights, block_starts)
 
     chunks = []
     for c0 in range(0, n_blocks_total, chunk_blocks):
@@ -147,16 +155,19 @@ def encode_chunks(doc_ids, tfs, dls, imps, avgdl: float,
             "payload": payload,
             "block_last_doc": block_last[c0:c1].tolist(),
             "block_max_score": block_maxw[c0:c1].tolist(),
+            "block_max_wscore": block_maxww[c0:c1].tolist(),
         })
     return chunks
 
 
-def decode_chunk(payload, block_last_doc, block_sel=None):
+def decode_chunk(payload, block_last_doc, block_sel=None, with_imp=True):
     """Decode selected blocks of one chunk.
 
     block_last_doc: the chunk's per-block last-doc column (INDEX schema) —
     supplies the delta base for each contiguous run of selected blocks.
     block_sel: boolean mask over blocks (None = all).
+    with_imp=False skips varbyte-decoding the imp stream (plain-BM25
+    queries never look at it) and returns zeros in its place.
 
     Returns (doc_ids, tfs, dls, imps) int64 arrays.
     """
@@ -189,15 +200,19 @@ def decode_chunk(payload, block_last_doc, block_sel=None):
     run_starts = np.concatenate(([0], run_breaks + 1))
     run_ends = np.concatenate((run_breaks, [len(sel) - 1]))
 
+    n_streams = 4 if with_imp else 3
     outs = [[] for _ in range(4)]
     for rs, re_ in zip(run_starts, run_ends):
         b0, b1 = int(sel[rs]), int(sel[re_])
         n_vals = int(n_cum[b1 + 1] - n_cum[b0])
         decoded = []
-        for si, (e, sbuf) in enumerate(zip(ends, stream_bufs)):
+        for si, (e, sbuf) in enumerate(zip(ends[:n_streams],
+                                           stream_bufs[:n_streams])):
             lo = int(e[b0 - 1]) if b0 > 0 else 0
             hi = int(e[b1])
             decoded.append(vb_decode(sbuf[lo:hi], n_vals).astype(np.int64))
+        if not with_imp:
+            decoded.append(np.zeros(n_vals, np.int64))
         gaps = decoded[0]
         # absolute doc ids: cumsum of gaps; the run's first gap needs the
         # previous block's last doc (block 0's first gap is absolute).

@@ -81,7 +81,7 @@ def _make_encode_group(avgdl: float, bm25: BM25Config, cfg: IndexConfig):
                 rows.append((shard, term, c["chunk"], df_shard,
                              c["n_postings"], c["first_doc"], c["last_doc"],
                              c["payload"], c["block_last_doc"],
-                             c["block_max_score"]))
+                             c["block_max_score"], c["block_max_wscore"]))
         return pd.DataFrame(rows, columns=[f.name for f in INDEX.fields])
 
     return encode_group

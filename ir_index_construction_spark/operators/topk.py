@@ -77,7 +77,7 @@ class _TermCursor:
     __slots__ = ("rows", "block_last", "block_ub", "block_prev",
                  "chunk_block_ranges", "n_postings")
 
-    def __init__(self, g: pd.DataFrame, weight: float):
+    def __init__(self, g: pd.DataFrame, weight: float, weighted: bool = False):
         g = g.sort_values("chunk")
         self.rows = list(g.itertuples(index=False))
         lasts, ubs, ranges = [], [], []
@@ -85,7 +85,8 @@ class _TermCursor:
         for r in self.rows:
             bl = np.asarray(r.block_last_doc, np.int64)
             lasts.append(bl)
-            ubs.append(np.asarray(r.block_max_score, np.float64) * weight)
+            bm = r.block_max_wscore if weighted else r.block_max_score
+            ubs.append(np.asarray(bm, np.float64) * weight)
             ranges.append((off, off + len(bl)))
             off += len(bl)
         self.block_last = np.concatenate(lasts)
@@ -97,29 +98,37 @@ class _TermCursor:
         self.chunk_block_ranges = ranges
         self.n_postings = int(sum(r.n_postings for r in self.rows))
 
-    def decode(self, sel: np.ndarray | None):
-        """Decode selected blocks (None = all) across chunks."""
-        docs, tfs, dls = [], [], []
+    def decode(self, sel: np.ndarray | None, with_imp: bool = False):
+        """Decode selected blocks (None = all) across chunks.  with_imp
+        skips the imp stream entirely for plain-BM25 queries."""
+        docs, tfs, dls, imps = [], [], [], []
         for r, (b0, b1) in zip(self.rows, self.chunk_block_ranges):
             csel = None if sel is None else sel[b0:b1]
             if csel is not None and not csel.any():
                 continue
-            d, t, l, _ = decode_chunk(r.payload, r.block_last_doc, csel)
+            d, t, l, i = decode_chunk(r.payload, r.block_last_doc, csel,
+                                      with_imp=with_imp)
             docs.append(d)
             tfs.append(t)
             dls.append(l)
+            imps.append(i)
         if not docs:
             z = np.zeros(0, np.int64)
-            return z, z, z
-        return (np.concatenate(docs), np.concatenate(tfs), np.concatenate(dls))
+            return z, z, z, z
+        return (np.concatenate(docs), np.concatenate(tfs),
+                np.concatenate(dls), np.concatenate(imps))
 
 
 def make_shard_scorer(term_meta: dict, ordered_terms: list, k: int,
                       is_bool: bool, avgdl: float, bm25: BM25Config,
-                      stats: dict | None = None):
+                      stats: dict | None = None, weighted: bool = False):
     """term_meta: {term: (mult, idf)}; ordered_terms: distinct terms in
     query order (float-sum order contract with the oracle).  `stats` is a
-    local-mode instrumentation dict (blocks_total/blocks_decoded)."""
+    local-mode instrumentation dict (blocks_total/blocks_decoded).
+    weighted=True scores BM25 x tag-importance (contribution x imp/10,
+    the reference's tf-idf x s semantics — searcher.py:123-143 — on the
+    engine's BM25 base); block pruning then uses the per-block
+    block_max_wscore bound, which is exact for the weighted score."""
     k1, b = bm25.k1, bm25.b
     n_required = len(ordered_terms)
 
@@ -127,7 +136,7 @@ def make_shard_scorer(term_meta: dict, ordered_terms: list, k: int,
         cursors = {}
         for term, g in pdf.groupby("term", sort=False):
             mult, idf = term_meta[term]
-            cursors[term] = _TermCursor(g, mult * idf)
+            cursors[term] = _TermCursor(g, mult * idf, weighted)
         if not cursors or (is_bool and len(cursors) < n_required):
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})
@@ -139,8 +148,11 @@ def make_shard_scorer(term_meta: dict, ordered_terms: list, k: int,
             cur = cursors[seed]
             if cur.n_postings >= k:
                 mult, idf = term_meta[seed]
-                d, t, l = cur.decode(None)
-                s = mult * idf * bm25_tf_norm(t, l, avgdl, k1, b)
+                d, t, l, i = cur.decode(None, with_imp=weighted)
+                w = bm25_tf_norm(t, l, avgdl, k1, b)
+                if weighted:
+                    w = w * (i.astype(np.float64) / 10.0)
+                s = (mult * idf) * w
                 theta = float(np.partition(s, len(s) - k)[len(s) - k])
 
         # ---- block pruning via interval coverage sweep ----
@@ -176,9 +188,12 @@ def make_shard_scorer(term_meta: dict, ordered_terms: list, k: int,
             if c is None:
                 continue
             mult, idf = term_meta[term]
-            d, t, l = c.decode(selections[term])
+            d, t, l, i = c.decode(selections[term], with_imp=weighted)
+            w = bm25_tf_norm(t, l, avgdl, k1, b)
+            if weighted:
+                w = w * (i.astype(np.float64) / 10.0)
             all_docs.append(d)
-            all_scores.append(mult * idf * bm25_tf_norm(t, l, avgdl, k1, b))
+            all_scores.append((mult * idf) * w)
         docs_cat = np.concatenate(all_docs)
         if len(docs_cat) == 0:
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
@@ -204,7 +219,8 @@ def make_shard_scorer(term_meta: dict, ordered_terms: list, k: int,
 
 def wand_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
               query: str, n_docs: int, avgdl: float, k: int = 10,
-              bm25: BM25Config = BM25Config()) -> DataFrame:
+              bm25: BM25Config = BM25Config(), weighted: bool = False,
+              pre_parsed: tuple | None = None) -> DataFrame:
     """TOPK (rank, doc_id, url, score) via the compressed index.
 
     Plan: term-filtered scan of the index (parquet row-group pruning on
@@ -212,9 +228,14 @@ def wand_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
     postings; groupBy(shard) moves only the query terms' chunk rows,
     which are already co-partitioned by shard on disk) -> global
     TakeOrderedAndProject over <= k rows per shard -> broadcast back-join
-    for urls."""
+    for urls.
+
+    weighted=True ranks by BM25 x tag-importance (imp/10 multiplier, the
+    reference's searcher.py:123-143 zone semantics on the BM25 base).
+    pre_parsed=(terms, is_bool) bypasses parse_query (e.g. for indexes
+    built without stemming, where the query must not be stemmed)."""
     spark = index.sparkSession
-    terms, is_bool = parse_query(query)
+    terms, is_bool = pre_parsed if pre_parsed is not None else parse_query(query)
     if not terms or n_docs == 0 or avgdl == 0:
         return empty_topk(spark)
 
@@ -228,7 +249,8 @@ def wand_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
     term_meta = {t: (counts[t], tf_idf[t][1]) for t in ordered}
 
     rows = index.filter(F.col("term").isin(ordered))
-    scorer = make_shard_scorer(term_meta, ordered, k, is_bool, avgdl, bm25)
+    scorer = make_shard_scorer(term_meta, ordered, k, is_bool, avgdl, bm25,
+                               weighted=weighted)
     local = rows.groupBy("shard").applyInPandas(scorer, _LOCAL_SCHEMA)
     topk = local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
     return (

@@ -59,10 +59,17 @@ def bm25_topk_exhaustive(
     avgdl: float,
     k: int = 10,
     bm25: BM25Config = BM25Config(),
+    weighted: bool = False,
+    pre_parsed: tuple | None = None,
 ) -> DataFrame:
-    """Returns TOPK (rank, doc_id, url, score)."""
+    """Returns TOPK (rank, doc_id, url, score).
+
+    weighted=True multiplies each (term, doc) contribution by imp/10 —
+    BM25 x tag-importance, the reference's zone-weighted ranking
+    (searcher.py:123-143) on the engine's BM25 base.  pre_parsed=(terms,
+    is_bool) bypasses parse_query for unstemmed indexes."""
     spark = postings.sparkSession
-    terms, is_bool = parse_query(query)
+    terms, is_bool = pre_parsed if pre_parsed is not None else parse_query(query)
     if not terms or n_docs == 0 or avgdl == 0:
         return empty_topk(spark)
 
@@ -81,11 +88,14 @@ def bm25_topk_exhaustive(
 
     k1, b = bm25.k1, bm25.b
     # same float op order as codec.bm25_tf_norm / the oracle:
-    # w = tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)); contrib = (mult*idf)*w
+    # w = tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)); [w *= imp/10.0 if
+    # weighted]; contrib = (mult*idf)*w
     w = (F.col("tf") * F.lit(k1 + 1.0)) / (
         F.col("tf")
         + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.lit(avgdl)))
     )
+    if weighted:
+        w = w * (F.col("imp") / F.lit(10.0))
     contrib = (F.col("mult") * F.col("idf")) * w
     # explicit isin() before the broadcast join: the join itself would not
     # push term predicates into the parquet scan; the static filter does

@@ -69,7 +69,8 @@ STATS = StructType([
 
 # Compressed document-sharded index. One row per (shard, term, chunk):
 # payload = delta+varbyte blocks of (doc_id gaps, tf, dl, imp);
-# block_max rows carry (last_doc, max_score) per 128-posting block.
+# block_max rows carry per-block (last_doc, max w, max w*(imp/10)) —
+# the second bound drives importance-weighted WAND (codec.py header).
 INDEX = StructType([
     StructField("shard", IntegerType(), False),
     StructField("term", StringType(), False),
@@ -81,6 +82,7 @@ INDEX = StructType([
     StructField("payload", BinaryType(), False),
     StructField("block_last_doc", ArrayType(LongType()), False),
     StructField("block_max_score", ArrayType(DoubleType()), False),
+    StructField("block_max_wscore", ArrayType(DoubleType()), False),
 ])
 
 # Phase-1 salted posting runs (intermediate, shuffle-compacting).

@@ -77,14 +77,22 @@ def idf(index: OracleIndex, term: str) -> float:
     return math.log((index.n_docs - df + 0.5) / (df + 0.5) + 1.0)
 
 
-def bm25_score(index: OracleIndex, terms, doc_id: int) -> float:
+def bm25_score(index: OracleIndex, terms, doc_id: int,
+               weighted: bool = False) -> float:
     """Canonical summation order: one contribution per DISTINCT term in
     first-occurrence query order, each weighted (mult*idf)*w where mult
     is the term's multiplicity in the query list.  This is exactly the
     engine scorer's accumulation (operators/topk.py decodes each distinct
     term once and multiplies by mult), so scores stay BIT-identical even
     for queries with repeated non-adjacent terms ('learning machine
-    learning')."""
+    learning').
+
+    weighted=True multiplies each contribution by imp/10 — BM25 x
+    tag-importance, the engine's transplant of the reference's
+    tf-idf x s zone ranking (searcher.py:123-143; imp = max zone weight
+    per (term, doc), indexer.py:55-63, default zone 10 -> neutral 1.0).
+    Float op order: w, then w*(imp/10.0), then *(mult*idf) — identical
+    to codec.encode_chunks' block_max_wscore and both engine scorers."""
     dl = index.doc_len[doc_id]
     norm = K1 * (1.0 - B + B * (dl / index.avgdl if index.avgdl else 0.0))
     counts: dict = {}
@@ -95,16 +103,19 @@ def bm25_score(index: OracleIndex, terms, doc_id: int) -> float:
         posting = index.postings.get(t)
         if not posting or doc_id not in posting:
             continue
-        tf = posting[doc_id][0]
+        tf, imp = posting[doc_id]
         # canonical float op order shared with the engine (codec.bm25_tf_norm
         # then *(mult*idf)): keeps engine scores BIT-identical, and keeps
         # the block-max bound idf*max(w) exactly monotone vs idf*w.
         w = tf * (K1 + 1.0) / (tf + norm)
+        if weighted:
+            w = w * (imp / 10.0)
         score += (counts[t] * idf(index, t)) * w
     return score
 
 
-def search(index: OracleIndex, query: str, k: int = 10):
+def search(index: OracleIndex, query: str, k: int = 10,
+           weighted: bool = False):
     """Top-k [(rank, doc_id, url, score)] with (score DESC, doc_id ASC)."""
     terms, is_bool = parse_query(query)
     if not terms:
@@ -127,7 +138,7 @@ def search(index: OracleIndex, query: str, k: int = 10):
         if not candidates:
             return []
 
-    scored = [(bm25_score(index, terms, d), d) for d in candidates]
+    scored = [(bm25_score(index, terms, d, weighted), d) for d in candidates]
     scored.sort(key=lambda x: (-x[0], x[1]))
     return [
         (rank + 1, d, index.doc_url[d], s)

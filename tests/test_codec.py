@@ -87,6 +87,7 @@ def test_block_max_is_upper_bound():
     chunks = encode_chunks(doc_ids, tfs, dls, imps, avgdl=avgdl, k1=K1, b=B,
                            block_size=128, chunk_blocks=8)
     w = bm25_tf_norm(tfs, dls, avgdl, K1, B)
+    ww = w * (imps.astype(np.float64) / 10.0)
     pos = 0
     for c in chunks:
         d, t, l, _ = decode_chunk(c["payload"], c["block_last_doc"])
@@ -96,8 +97,26 @@ def test_block_max_is_upper_bound():
             hi = min(lo + 128, pos + c["n_postings"])
             # exact float max — no quantization (SURVEY.md §7.2 #4)
             assert c["block_max_score"][bi] == w[lo:hi].max()
+            assert c["block_max_wscore"][bi] == ww[lo:hi].max()
             assert c["block_last_doc"][bi] == doc_ids[hi - 1]
         pos += c["n_postings"]
+
+
+def test_decode_without_imp_stream():
+    """with_imp=False must return identical doc/tf/dl and zeros for imp
+    (the plain-BM25 hot path skips the imp stream decode entirely)."""
+    doc_ids, tfs, dls, imps = _random_postings(1500, seed=11)
+    chunks = encode_chunks(doc_ids, tfs, dls, imps, avgdl=150.0, k1=K1, b=B,
+                           block_size=64, chunk_blocks=8)
+    for c in chunks:
+        d1, t1, l1, i1 = decode_chunk(c["payload"], c["block_last_doc"])
+        d2, t2, l2, i2 = decode_chunk(c["payload"], c["block_last_doc"],
+                                      with_imp=False)
+        np.testing.assert_array_equal(d1, d2)
+        np.testing.assert_array_equal(t1, t2)
+        np.testing.assert_array_equal(l1, l2)
+        assert (i2 == 0).all()
+        assert (i1 > 0).all()
 
 
 def test_compression_ratio_on_dense_lists():

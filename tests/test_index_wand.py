@@ -87,15 +87,54 @@ def test_wand_rank_identity(built, index_df, oracle_index, query):
 
 
 def test_wand_scores_bit_identical_to_oracle(built, index_df, oracle_index):
-    """The scorer accumulates in query-term order -> EXACT float equality
-    with the oracle (not just isclose)."""
-    got = wand_topk(index_df, built.dictionary, built.docs,
-                    "master of software engineering",
-                    built.n_docs, built.avgdl, k=10).collect()
-    expected = oracle_search(oracle_index, "master of software engineering", k=10)
-    assert [r["score"] for r in sorted(got, key=lambda r: r["rank"])] == [
-        s for _, _, _, s in expected
+    """The scorer accumulates per distinct term in first-occurrence query
+    order -> EXACT float equality with the oracle (not just isclose),
+    including for duplicate-term queries."""
+    for q in ("master of software engineering", "learning machine learning"):
+        got = wand_topk(index_df, built.dictionary, built.docs, q,
+                        built.n_docs, built.avgdl, k=10).collect()
+        expected = oracle_search(oracle_index, q, k=10)
+        assert [r["score"] for r in sorted(got, key=lambda r: r["rank"])] == [
+            s for _, _, _, s in expected
+        ], q
+
+
+@pytest.mark.parametrize("query", QUERY_SET)
+def test_wand_rank_identity_weighted(built, index_df, oracle_index, query):
+    """Importance-weighted BM25 (imp/10 multiplier) over the compressed
+    index: rank identity + bit-identical scores vs the weighted oracle —
+    the reference's tag-importance ranking capability (searcher.py:
+    123-143) on the engine's scale path."""
+    expected = oracle_search(oracle_index, query, k=10, weighted=True)
+    got = wand_topk(
+        index_df, built.dictionary, built.docs, query,
+        built.n_docs, built.avgdl, k=10, weighted=True,
+    ).orderBy("rank").collect()
+    assert [(r["rank"], r["doc_id"], r["url"]) for r in got] == [
+        (rank, d, u) for rank, d, u, _ in expected
     ]
+    assert [r["score"] for r in got] == [s for _, _, _, s in expected]
+
+
+def test_weighted_ranking_actually_differs(built, index_df, oracle_index):
+    """Guard against imp being dead weight again (VERDICT r1): over the
+    fixture query set, at least one query must rank differently under
+    tag-importance weighting, and the engine must reproduce both orders."""
+    differs = []
+    for q in QUERY_SET:
+        plain = [d for _, d, _, _ in oracle_search(oracle_index, q, k=10)]
+        wtd = [d for _, d, _, _ in
+               oracle_search(oracle_index, q, k=10, weighted=True)]
+        if plain != wtd:
+            differs.append(q)
+    assert differs, "no fixture query separates weighted from plain BM25"
+    q = differs[0]
+    got = wand_topk(index_df, built.dictionary, built.docs, q,
+                    built.n_docs, built.avgdl, k=10,
+                    weighted=True).orderBy("rank").collect()
+    wtd = [d for _, d, _, _ in oracle_search(oracle_index, q, k=10,
+                                             weighted=True)]
+    assert [r["doc_id"] for r in got] == wtd
 
 
 def _index_rows_for(term, doc_ids, tfs, dls, avgdl, block_size=16,
@@ -115,6 +154,7 @@ def _index_rows_for(term, doc_ids, tfs, dls, avgdl, block_size=16,
             "first_doc": c["first_doc"], "last_doc": c["last_doc"],
             "payload": c["payload"], "block_last_doc": c["block_last_doc"],
             "block_max_score": c["block_max_score"],
+            "block_max_wscore": c["block_max_wscore"],
         })
     return pd.DataFrame(rows)
 

@@ -103,3 +103,22 @@ def test_rank_identity_exhaustive(built, oracle_index, query):
     ]
     for r, (_, _, _, score) in zip(got, expected):
         assert math.isclose(r["score"], score, rel_tol=1e-9, abs_tol=1e-12)
+
+
+@pytest.mark.parametrize("query", QUERY_SET)
+def test_rank_identity_exhaustive_weighted(built, oracle_index, query):
+    """Importance-weighted BM25 on the flat-postings native plan vs the
+    weighted oracle (imp/10 contribution multiplier)."""
+    from ir_index_construction_spark.plans.query import bm25_topk_exhaustive
+
+    expected = oracle_search(oracle_index, query, k=10, weighted=True)
+    got = bm25_topk_exhaustive(
+        built.postings, built.dictionary, built.docs, query,
+        built.n_docs, built.avgdl, k=10, weighted=True,
+    ).orderBy("rank").collect()
+
+    assert [(r["rank"], r["doc_id"], r["url"]) for r in got] == [
+        (rank, d, u) for rank, d, u, _ in expected
+    ]
+    for r, (_, _, _, score) in zip(got, expected):
+        assert math.isclose(r["score"], score, rel_tol=1e-9, abs_tol=1e-12)
