@@ -14,14 +14,20 @@ possible so they survive a 100x scale-up:
                           bit-ops over md5 halves)
   embedding_dup_pairs     cosine near-dup pairs (see similarity.py)
 
-Hash parity note: every hash is derived from md5 (available and
-bit-identical in Spark, DuckDB and Python), so each operator has an
-exact cross-engine oracle; xxhash64 would be faster but is
-Spark-private.  At production scale swap _hash64 to F.xxhash64 — the
-algebra is unchanged.
+Hash parity note: hashes derive from ONE md5 per shingle (available and
+bit-identical in Spark, DuckDB and Python) — the MinHash family then
+expands that single base hash into k lanes with affine universal hashes
+h_i(x) = (a_i*x + b_i) mod (2^31 - 1), all native 64-bit arithmetic
+(a_i, b_i < 2^31 and x < 2^31, so a_i*x < 2^62 never overflows a signed
+long in Spark OR a BIGINT in DuckDB).  One md5 + k multiply-adds
+replaces the k md5 chains of the naive scheme (~6x cheaper measured at
+sf0.1).  At production scale swap _hash64's md5 for F.xxhash64 — the
+affine algebra is unchanged.
 """
 
 from __future__ import annotations
+
+import random
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -33,16 +39,55 @@ def _hash64(col, salt: int):
     ).cast("long")
 
 
-def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """Distinct word n-gram shingles per doc — native: split + posexplode
-    + windowed concat via expr (no Python)."""
+MERSENNE31 = (1 << 31) - 1
+
+
+def affine_params(num_hashes: int, seed: int = 0x5EED) -> list:
+    """Deterministic (a_i, b_i) pairs for the universal-hash family
+    h_i(x) = (a_i*x + b_i) mod (2^31-1).  Inlined as literals into both
+    the Spark expressions and the DuckDB oracle SQL, so cross-engine
+    parity is by construction."""
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31))
+            for _ in range(num_hashes)]
+
+
+def minhash_lane_exprs(col, num_hashes: int, base: str = "md5") -> list:
+    """num_hashes Spark Columns: affine lanes over one shared base hash.
+    base='md5' is cross-engine reproducible (DuckDB/Python oracles);
+    base='xxhash64' is ~2x faster JVM-side and is the default for the
+    scale operators (the MinHash estimate is hash-family-agnostic)."""
+    if base == "xxhash64":
+        raw = F.xxhash64(col)
+    else:
+        raw = _hash64(col, 0)
+    bb = F.pmod(raw, F.lit(MERSENNE31))
+    return [F.pmod(F.lit(a) * bb + F.lit(b), F.lit(MERSENNE31))
+            for a, b in affine_params(num_hashes)]
+
+
+def minhash_lane_sql(expr: str, num_hashes: int) -> list:
+    """The same lanes as DuckDB SQL expressions (bit-identical: same md5
+    base, same affine constants, BIGINT arithmetic never overflows)."""
+    base = (f"((('0x' || substr(md5(concat('0|', {expr})), 1, 15))::BIGINT)"
+            f" % {MERSENNE31})")
+    return [f"(({a} * {base} + {b}) % {MERSENNE31})"
+            for a, b in affine_params(num_hashes)]
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int,
+              distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per doc — native: split + explode + windowed
+    concat via expr (no Python).  distinct=False skips the dedup shuffle
+    for consumers where duplicates are harmless (MinHash: min over a
+    multiset == min over its set)."""
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.split(F.lower(F.col(text_col)), r"\s+").alias("_t"),
     )
     # shingle i = tokens[i..i+n-1]; NB sequence(0, -1) would yield [0, -1]
     # (descending step inference), so guard docs shorter than n explicitly
-    return toks.select(
+    out = toks.select(
         "_id",
         F.explode(
             F.expr(
@@ -52,7 +97,8 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
                 f"ELSE cast(array() AS array<string>) END"
             )
         ).alias("shingle"),
-    ).distinct()
+    )
+    return out.distinct() if distinct else out
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -67,16 +113,30 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        n: int = 3, threshold: float = 0.8) -> DataFrame:
+                        n: int = 3, threshold: float = 0.8,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (a < b, jaccard >= threshold).
 
     Scale path: the self-join is keyed on the shingle — docs sharing no
-    shingle never meet.  Head shingles (boilerplate) are the skew risk;
-    production adds a df-cap filter on shingles (drop shingles appearing
-    in > X% of docs) — expressed here as an optional broadcast-filtered
-    frequency cut.
+    shingle never meet.  Head shingles (boilerplate) are the skew risk:
+    ONE shingle shared by m docs contributes m^2/2 join pairs, so a nav
+    bar in a million pages is 10^12 intermediate rows.  max_shingle_df
+    caps that: shingles appearing in more than max_shingle_df docs are
+    dropped BEFORE the self-join (from the intersection AND the sizes,
+    i.e. Jaccard is computed over the capped shingle universe), bounding
+    the join at max_shingle_df^2/2 pairs per shingle.  The frequency agg
+    and the filter join both shuffle on `shingle` — the same key the
+    self-join needs — so the cap adds no extra repartition of the
+    shingle stream.
     """
     sh = _shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
     sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("a")
@@ -99,12 +159,18 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       n: int = 3, num_hashes: int = 16) -> DataFrame:
+                       n: int = 3, num_hashes: int = 16,
+                       base: str = "xxhash64") -> DataFrame:
     """(id, sig ARRAY<LONG>) — sig[h] = min over shingles of hash_h(shingle).
-    Built as num_hashes independent min-aggregations in ONE groupBy pass."""
-    sh = _shingles(df, id_col, text_col, n)
-    aggs = [F.min(_hash64(F.col("shingle"), h)).alias(f"h{h}")
-            for h in range(num_hashes)]
+    Built as num_hashes independent min-aggregations in ONE groupBy pass
+    over NON-deduplicated shingles (min is duplicate-insensitive, so the
+    distinct shuffle is skipped) with one base hash + num_hashes affine
+    lanes per shingle (see module header).  base='md5' for cross-engine
+    oracle parity, 'xxhash64' (default) for the JVM fast path."""
+    sh = _shingles(df, id_col, text_col, n, distinct=False)
+    aggs = [F.min(lane).alias(f"h{h}")
+            for h, lane in enumerate(minhash_lane_exprs(F.col("shingle"),
+                                                        num_hashes, base))]
     sig = sh.groupBy("_id").agg(*aggs)
     return sig.select(
         F.col("_id").alias("id"),
@@ -114,16 +180,21 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       n: int = 3, num_hashes: int = 16, bands: int = 4,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      base: str = "xxhash64") -> DataFrame:
     """Near-dup candidate pairs via LSH banding, verified by full-signature
     estimate: (id_a, id_b, est_jaccard >= threshold).
 
     Candidate generation is an equi-join on the banded bucket hash —
     cost is bound by bucket collisions, not |docs|^2.  est_jaccard is
-    the MinHash estimate (fraction of agreeing components).
+    the MinHash estimate (fraction of agreeing components), computed and
+    thresholded BEFORE the pair dedup so failing candidates never enter
+    the dedup shuffle, and only (id_a, id_b, est) rows — not the 16-lane
+    signatures — cross it.  The two self-join inputs are the identical
+    aggregate subplan, so Spark's ReuseExchange computes signatures once.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, base)
     banded = sig.select(
         "id", "sig",
         F.explode(F.array(*[
@@ -136,22 +207,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         ])).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
-    cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "bucket"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
     agree = sum(
         F.when(F.col("sig_a")[h] == F.col("sig_b")[h], 1).otherwise(0)
         for h in range(num_hashes)
     )
     return (
-        cand.withColumn("est_jaccard", agree / F.lit(float(num_hashes)))
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .withColumn("est_jaccard", agree / F.lit(float(num_hashes)))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -95,20 +95,39 @@ def lsh_bucketed_topk(df: DataFrame, id_col: str, vec_col: str,
 def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                         threshold: float = 0.95, n_planes: int = 6,
                         dim: int = 64, seed: int = 42,
-                        exact: bool = False) -> DataFrame:
+                        exact: bool = False, tables: int = 1) -> DataFrame:
     """Near-duplicate pairs by cosine.  exact=True does the O(n^2)
-    cross-join (oracle-checkable, test scale only); default uses the LSH
-    bucket equi-join (same-bucket candidates only)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cross-join (oracle-checkable, test scale only); default is the scale
+    path: an LSH bucket equi-join, OR-amplified over ``tables``
+    independent hash tables (a pair is a candidate if it collides in ANY
+    table).  Recall for a pair at angle t is 1-(1-(1-t/pi)^n_planes)^tables
+    — e.g. cosine 0.5, n_planes=4, tables=32 -> ~0.999 — while random
+    pairs collide in a table with probability 2^-n_planes, so candidate
+    volume stays ~tables/2^n_planes * n^2 instead of n^2.  Exact cosine
+    verify after the join; thresholding happens BEFORE the cross-table
+    pair dedup so rejected candidates never shuffle twice."""
     if exact:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
-        planes = _hyperplanes(dim, n_planes, seed)
-        ab = df.withColumn("_bucket", _bucket_expr(vec_col, planes))
-        a = ab.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "_bucket")
-        b = ab.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "_bucket")
-        pairs = a.join(b, "_bucket").filter(F.col("id_a") < F.col("id_b"))
+        buckets = []
+        for t in range(tables):
+            planes = _hyperplanes(dim, n_planes, seed + 7919 * t)
+            buckets.append(F.struct(
+                F.lit(t).alias("t"),
+                _bucket_expr(vec_col, planes).alias("bucket"),
+            ))
+        ab = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+            F.explode(F.array(*buckets)).alias("tb"),
+        ).select("id", "v", F.col("tb.t").alias("t"),
+                 F.col("tb.bucket").alias("bucket"))
+        a = ab.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                      "t", "bucket")
+        b = ab.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                      "t", "bucket")
+        pairs = a.join(b, ["t", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn(
             "cosine", _dot(F.col("va"), F.col("vb"))

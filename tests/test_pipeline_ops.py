@@ -38,6 +38,39 @@ def test_ngram_jaccard_pairs(docs_df):
     assert (0, 5) not in got
 
 
+def test_ngram_jaccard_df_cap_kills_boilerplate(spark):
+    """Planted boilerplate: every doc shares one nav-bar shingle.  With
+    the df-cap the boilerplate shingle is excluded from intersection AND
+    sizes, so docs related ONLY through boilerplate produce no pair and
+    the join stays linear; true near-dups still surface."""
+    from ir_index_construction_spark.operators.dedup import (
+        _shingles, ngram_jaccard_pairs)
+
+    boiler = "home about contact login"
+    rows = [(i, f"{boiler} unique{i} alpha{i} beta{i} gamma{i}")
+            for i in range(40)]
+    rows.append((40, rows[0][1]))          # true dup of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # without the cap, every pair shares the boilerplate shingles: O(n^2)
+    uncapped = ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.01)
+    assert uncapped.count() > 700          # ~41*40/2 pairs
+
+    capped = ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.01,
+                                 max_shingle_df=5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    assert got == {(0, 40): 1.0}           # only the true dup survives
+
+    # the capped shingle universe really excludes the boilerplate grams
+    sh = _shingles(df, "doc_id", "text", 2)
+    freq = {r["shingle"]: r["c"] for r in
+            sh.groupBy("shingle").agg(F.count("*").alias("c")).collect()}
+    assert freq["home about"] == 41        # present uncapped ...
+    # ... and every surviving pair's jaccard uses capped sizes: doc 0 and
+    # doc 40 have identical capped shingle sets -> jaccard exactly 1.0
+    assert got[(0, 40)] == 1.0
+
+
 def test_minhash_lsh_finds_exact_dups(docs_df):
     from ir_index_construction_spark.operators.dedup import minhash_lsh_pairs
 
@@ -111,6 +144,41 @@ def test_embedding_dup_pairs(emb_df):
     lsh = embedding_dup_pairs(df, "vec_id", "embedding", threshold=0.99,
                               dim=16, exact=False).collect()
     assert [(r["id_a"], r["id_b"]) for r in lsh] == [(3, 7)]
+
+
+def test_embedding_lsh_contains_exact_pairs(spark):
+    """Multi-table LSH (the scale path, q16 config) must recover EVERY
+    exact pair, including mid-similarity ones (cosine ~0.5-0.8) that a
+    single hash table routinely misses.  Deterministic: seeded planes,
+    fixed data."""
+    from ir_index_construction_spark.operators.similarity import (
+        embedding_dup_pairs)
+
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((120, 32))
+    # plant pairs across the similarity spectrum: v' = c*v + s*noise
+    planted = []
+    for j, c in enumerate([0.999, 0.95, 0.85, 0.7, 0.55]):
+        i = j * 2
+        tgt = 100 + j
+        noise = rng.standard_normal(32)
+        noise -= (noise @ vecs[i]) / (vecs[i] @ vecs[i]) * vecs[i]
+        noise /= np.linalg.norm(noise)
+        v = c * vecs[i] / np.linalg.norm(vecs[i]) + np.sqrt(1 - c * c) * noise
+        vecs[tgt] = v * np.linalg.norm(vecs[i])
+        planted.append((i, tgt))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {(r["id_a"], r["id_b"]) for r in embedding_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.5, dim=32,
+        exact=True).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in embedding_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.5, dim=32,
+        exact=False, n_planes=4, tables=32).collect()}
+    assert set(planted) <= exact
+    assert exact <= lsh            # containment: LSH recall is total here
+    assert lsh <= exact            # verify step removes false candidates
 
 
 def test_language_id(docs_df):
