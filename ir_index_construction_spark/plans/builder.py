@@ -16,9 +16,14 @@ Stages and their checkpoint units:
   encode    (pid = term_bucket)  salted two-phase compressed-index encode,
                            committed per term bucket -> `index` table.
 
-Every commit appends a `checkpoints` row; `lineage` and `metrics` rows
-ride along.  ``FaultInjector`` lets tests kill the build between commits
-and assert that a resume re-runs only pending partitions.
+Every partition's data appends and its `checkpoints`/`lineage`/`metrics`
+ledger rows commit as ONE catalog transaction (sources/catalog.py), so a
+crash at any instant leaves either nothing or everything of that
+partition visible — the ADVICE-flagged window (data committed without
+its checkpoint row, then re-appended on resume) is structurally closed.
+``FaultInjector`` lets tests kill the build after a commit (legacy
+resume tests) or BETWEEN staging and commit (the atomicity window) and
+assert that a resume re-runs only pending partitions with no duplicates.
 """
 
 from __future__ import annotations
@@ -46,17 +51,32 @@ class BuildKilled(RuntimeError):
 
 
 class FaultInjector:
-    def __init__(self, stage: str, after_commits: int):
+    """where='after': raise after the Nth successful commit of `stage`
+    (N partitions are durably committed when it fires).  where='before':
+    raise on the (after_commits+1)-th attempt BETWEEN data staging and
+    the catalog commit — the torn-commit window; that partition's data
+    files are materialized on disk but referenced by no manifest."""
+
+    def __init__(self, stage: str, after_commits: int, where: str = "after"):
+        assert where in ("before", "after")
         self.stage = stage
         self.after_commits = after_commits
+        self.where = where
         self._seen = 0
 
-    def on_commit(self, stage: str):
-        if stage == self.stage:
+    def maybe_kill(self, stage: str, point: str):
+        if stage != self.stage:
+            return
+        if point == "after" and self.where == "after":
             self._seen += 1
             if self._seen >= self.after_commits:
                 raise BuildKilled(f"injected fault after {self._seen} "
                                   f"{stage} commits")
+        elif point == "before" and self.where == "before":
+            self._seen += 1
+            if self._seen > self.after_commits:
+                raise BuildKilled(f"injected fault before {stage} commit "
+                                  f"#{self._seen} (data staged, not committed)")
 
 
 class IndexBuilder:
@@ -82,23 +102,28 @@ class IndexBuilder:
         )
         return {r["partition_id"] for r in rows}
 
-    def _commit(self, spark: SparkSession, stage: str, pid: int,
+    def _commit(self, txn, spark: SparkSession, stage: str, pid: int,
                 rows_in: int, rows_out: int, wall: float,
                 bytes_compressed: int = 0, docs: int = 0):
+        """Add the partition's ledger rows to `txn` and commit data +
+        checkpoints + lineage + metrics as ONE atomic catalog version."""
         now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
         snap = self.catalog.current_snapshot("corpus_prepared")
-        self.catalog.append_rows(spark, "checkpoints", [
+        txn.append_rows(spark, "checkpoints", [
             (self.build_id, stage, pid, "committed", now)], CHECKPOINTS)
-        self.catalog.append_rows(spark, "lineage", [
+        txn.append_rows(spark, "lineage", [
             (self.build_id, stage, pid,
              snap["snapshot_id"] if snap else "input",
              rows_in, rows_out)], LINEAGE)
         wall = max(wall, 1e-9)
-        self.catalog.append_rows(spark, "metrics", [
+        txn.append_rows(spark, "metrics", [
             (self.build_id, stage, pid, wall, docs / wall,
              rows_out / wall, bytes_compressed)], METRICS)
         if self.fault is not None:
-            self.fault.on_commit(stage)
+            self.fault.maybe_kill(stage, "before")
+        txn.commit()
+        if self.fault is not None:
+            self.fault.maybe_kill(stage, "after")
 
     # ---- stages ----
     def _stage_prepare(self, documents: DataFrame):
@@ -112,10 +137,12 @@ class IndexBuilder:
         batch_span = max(1, -(-n // self.n_batches))   # ceil
         prepared = with_ids.withColumn(
             "batch", (F.col("doc_id") / F.lit(batch_span)).cast("int"))
-        self.catalog.write(prepared.select("doc_id", "batch", "url", "html"),
-                           "corpus_prepared")
+        txn = self.catalog.transaction()
+        txn.write(prepared.select("doc_id", "batch", "url", "html"),
+                  "corpus_prepared")
         handle.unpersist()
-        self._commit(spark, "prepare", 0, rows_in, n, time.time() - t0, docs=n)
+        self._commit(txn, spark, "prepare", 0, rows_in, n, time.time() - t0,
+                     docs=n)
 
     def _stage_tokenize(self, spark: SparkSession):
         done = self._done(spark, "tokenize")
@@ -130,12 +157,13 @@ class IndexBuilder:
             tok = tokenize(part).persist()
             postings = postings_from_tokenized(tok)
             docs = docs_table(tok)
-            self.catalog.append(postings, "postings")
-            self.catalog.append(docs, "docs")
+            txn = self.catalog.transaction()
+            txn.append(postings, "postings")
+            txn.append(docs, "docs")
             n_docs = docs.count()
             n_post = postings.count()
             tok.unpersist()
-            self._commit(spark, "tokenize", b, n_docs, n_post,
+            self._commit(txn, spark, "tokenize", b, n_docs, n_post,
                          time.time() - t0, docs=n_docs)
 
     def _stage_stats(self, spark: SparkSession):
@@ -145,15 +173,16 @@ class IndexBuilder:
         postings = self.catalog.read(spark, "postings")
         docs = self.catalog.read(spark, "docs")
         dictionary = dictionary_table(postings)
-        self.catalog.write(dictionary, "dictionary")
+        txn = self.catalog.transaction()
+        txn.write(dictionary, "dictionary")
         stats = docs.agg(
             F.count("*").alias("n_docs"),
             F.coalesce(F.avg("doc_len"), F.lit(0.0)).alias("avgdl"),
         ).withColumn("n_terms", F.lit(None).cast("long"))
         n_terms = dictionary.count()
         stats = stats.withColumn("n_terms", F.lit(n_terms))
-        self.catalog.write(stats, "stats")
-        self._commit(spark, "stats", 0, 0, n_terms, time.time() - t0)
+        txn.write(stats, "stats")
+        self._commit(txn, spark, "stats", 0, 0, n_terms, time.time() - t0)
 
     def _stage_encode(self, spark: SparkSession):
         cfg = self.cfg.index
@@ -183,13 +212,14 @@ class IndexBuilder:
                     max(1, spark.sparkContext.defaultParallelism // 4),
                     "shard", "term", "chunk"
                 ).sortWithinPartitions("shard", "term", "chunk")
-                self.catalog.append(part, "index")
+                txn = self.catalog.transaction()
+                txn.append(part, "index")
                 agg = part.agg(
                     F.count("*").alias("rows"),
                     F.coalesce(F.sum(F.octet_length("payload")), F.lit(0)).alias("bytes"),
                     F.coalesce(F.sum("n_postings"), F.lit(0)).alias("postings"),
                 ).collect()[0]
-                self._commit(spark, "encode", tb, int(agg["postings"]),
+                self._commit(txn, spark, "encode", tb, int(agg["postings"]),
                              int(agg["rows"]), time.time() - t0,
                              bytes_compressed=int(agg["bytes"]))
         finally:

@@ -1,19 +1,31 @@
-"""Iceberg-style table catalog: parquet data + JSON snapshot manifests.
+"""Iceberg-style table catalog: parquet data + JSON snapshot manifests
++ a CATALOG-LEVEL version pointer for atomic multi-table transactions.
 
 The sandbox has no Iceberg runtime jar (SURVEY.md §7.0), so the Iceberg
 *contract* is implemented as a layout: every table is a directory of
 immutable parquet files plus a chain of snapshot manifests listing the
-live files.  Commits are atomic (write manifest to a temp name, then
-``os.replace`` the current-pointer), readers only ever see a committed
-snapshot, and appends create a child snapshot — which is exactly what
-the resumable builder needs (atomic per-partition commits + time-travel
-for lineage).  Swapping in a real Iceberg catalog is a config change:
-nothing outside this module touches the filesystem layout.
+live files.  The source of truth for "current" is a single catalog-level
+version file mapping every table to its live snapshot — committed by
+writing the new version JSON and then ``os.replace``-ing one pointer.
+That single pointer is what makes MULTI-table commits atomic: the
+resumable builder appends data tables AND their checkpoint/lineage/
+metrics ledger rows in one ``Transaction``, so a crash at any instant
+leaves either none of it visible or all of it (the crash window the
+round-1 ADVICE flagged — data committed without its checkpoint row,
+duplicated on resume — cannot exist).  This mirrors Iceberg's REST
+catalog multi-table transaction semantics.  Swapping in a real Iceberg
+catalog is a config change: nothing outside this module touches the
+filesystem layout.
 
 Layout:
-    <root>/<table>/data/<snapshot-uuid>-<n>.parquet ...
+    <root>/<table>/data/<uuid>-<n>.parquet ...
     <root>/<table>/snapshots/v<N>.json   {files, schema, parent, ...}
-    <root>/<table>/_current              "v<N>" (atomically replaced)
+    <root>/_catalog/v<M>.json            {tables: {name: snapshot N}, ...}
+    <root>/_current                      "v<M>" (atomically replaced)
+
+Orphan data files from an uncommitted transaction are unreachable (no
+manifest references them) and harmless — Iceberg's orphan-file cleanup
+is the production analogue.
 """
 
 from __future__ import annotations
@@ -28,6 +40,45 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
+class Transaction:
+    """Stages writes to any number of tables; ``commit`` makes them all
+    visible in ONE atomic catalog-pointer swap."""
+
+    def __init__(self, catalog: "Catalog"):
+        self.catalog = catalog
+        self._pending: list = []      # (table, mode, files, schema_json)
+        self._done = False
+
+    def write(self, df: DataFrame, table: str) -> "Transaction":
+        files = self.catalog._materialize(df, table)
+        self._pending.append((table, "overwrite", files, df.schema.json()))
+        return self
+
+    def append(self, df: DataFrame, table: str) -> "Transaction":
+        files = self.catalog._materialize(df, table)
+        self._pending.append((table, "append", files, df.schema.json()))
+        return self
+
+    def append_rows(self, spark: SparkSession, table: str, rows: list,
+                    schema: StructType) -> "Transaction":
+        return self.append(spark.createDataFrame(rows, schema), table)
+
+    def commit(self) -> dict:
+        assert not self._done, "transaction already committed"
+        cat = self.catalog
+        parent = cat._catalog_current()
+        tables = dict(parent["tables"]) if parent else {}
+        for table, mode, files, schema_json in self._pending:
+            snap_parent = cat._table_snapshot(table, tables.get(table))
+            base = (snap_parent["files"]
+                    if (mode == "append" and snap_parent) else [])
+            snap = cat._write_table_snapshot(
+                table, base + files, schema_json, snap_parent, mode)
+            tables[table] = snap["version"]
+        self._done = True
+        return cat._commit_catalog(tables, parent)
+
+
 class Catalog:
     def __init__(self, root: str):
         self.root = root
@@ -37,24 +88,55 @@ class Catalog:
     def _tdir(self, table: str) -> str:
         return os.path.join(self.root, table)
 
-    def _current_path(self, table: str) -> str:
-        return os.path.join(self._tdir(table), "_current")
+    def _cdir(self) -> str:
+        return os.path.join(self.root, "_catalog")
 
-    # ---- snapshot bookkeeping ----
-    def current_snapshot(self, table: str) -> dict | None:
-        cur = self._current_path(table)
-        if not os.path.exists(cur):
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "_current")
+
+    # ---- catalog-level versioning ----
+    def _catalog_current(self) -> dict | None:
+        ptr = self._pointer()
+        if not os.path.exists(ptr):
             return None
-        with open(cur) as f:
+        with open(ptr) as f:
             v = f.read().strip()
-        with open(os.path.join(self._tdir(table), "snapshots", v + ".json")) as f:
+        with open(os.path.join(self._cdir(), v + ".json")) as f:
             return json.load(f)
 
-    def table_exists(self, table: str) -> bool:
-        return self.current_snapshot(table) is not None
+    def _commit_catalog(self, tables: dict, parent: dict | None) -> dict:
+        os.makedirs(self._cdir(), exist_ok=True)
+        version = (parent["version"] + 1) if parent else 0
+        rec = {
+            "version": version,
+            "catalog_id": uuid.uuid4().hex,
+            "parent_id": parent["catalog_id"] if parent else None,
+            "tables": tables,
+            "committed_at": time.time(),
+        }
+        tmp = os.path.join(self._cdir(), f".v{version}.tmp-{rec['catalog_id']}")
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, os.path.join(self._cdir(), f"v{version}.json"))
+        # the ONE atomic swap — readers see the old or the new catalog
+        # state in full, never a torn multi-table commit
+        ptmp = self._pointer() + f".tmp-{rec['catalog_id']}"
+        with open(ptmp, "w") as f:
+            f.write(f"v{version}")
+        os.replace(ptmp, self._pointer())
+        return rec
 
-    def _commit_snapshot(self, table: str, files: list, schema_json: str,
-                         parent: dict | None, operation: str) -> dict:
+    # ---- table snapshot bookkeeping ----
+    def _table_snapshot(self, table: str, version: int | None) -> dict | None:
+        if version is None:
+            return None
+        path = os.path.join(self._tdir(table), "snapshots", f"v{version}.json")
+        with open(path) as f:
+            return json.load(f)
+
+    def _write_table_snapshot(self, table: str, files: list,
+                              schema_json: str, parent: dict | None,
+                              operation: str) -> dict:
         sdir = os.path.join(self._tdir(table), "snapshots")
         os.makedirs(sdir, exist_ok=True)
         version = (parent["version"] + 1) if parent else 0
@@ -71,16 +153,21 @@ class Catalog:
         with open(tmp, "w") as f:
             json.dump(snap, f)
         os.replace(tmp, os.path.join(sdir, f"v{version}.json"))
-        # atomic pointer swap — readers see old or new, never torn state
-        ptmp = self._current_path(table) + f".tmp-{snap['snapshot_id']}"
-        with open(ptmp, "w") as f:
-            f.write(f"v{version}")
-        os.replace(ptmp, self._current_path(table))
         return snap
+
+    def current_snapshot(self, table: str) -> dict | None:
+        cat = self._catalog_current()
+        if cat is None:
+            return None
+        return self._table_snapshot(table, cat["tables"].get(table))
+
+    def table_exists(self, table: str) -> bool:
+        return self.current_snapshot(table) is not None
 
     # ---- write paths ----
     def _materialize(self, df: DataFrame, table: str) -> list:
-        """Write df to new immutable parquet files; returns relative paths."""
+        """Write df to new immutable parquet files; returns relative paths.
+        Files are unreachable until a catalog commit references them."""
         staging = os.path.join(self._tdir(table), "data",
                                f"stage-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
@@ -95,13 +182,16 @@ class Catalog:
         shutil.rmtree(staging, ignore_errors=True)
         return final
 
+    def transaction(self) -> Transaction:
+        return Transaction(self)
+
     def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> dict:
-        """Commit df as a new snapshot. mode: overwrite | append."""
-        parent = self.current_snapshot(table)
-        files = self._materialize(df, table)
-        base = [] if (mode == "overwrite" or parent is None) else parent["files"]
-        return self._commit_snapshot(table, base + files, df.schema.json(),
-                                     parent, mode)
+        """Commit df as a new snapshot (a single-table transaction).
+        Returns the table's new snapshot record."""
+        txn = self.transaction()
+        (txn.append if mode == "append" else txn.write)(df, table)
+        txn.commit()
+        return self.current_snapshot(table)
 
     def append(self, df: DataFrame, table: str) -> dict:
         return self.write(df, table, mode="append")
@@ -134,4 +224,9 @@ class Catalog:
         return sorted(out, key=lambda s: s["version"])
 
     def drop(self, table: str) -> None:
+        cat = self._catalog_current()
+        if cat and table in cat["tables"]:
+            tables = dict(cat["tables"])
+            del tables[table]
+            self._commit_catalog(tables, cat)
         shutil.rmtree(self._tdir(table), ignore_errors=True)

@@ -94,6 +94,63 @@ def test_kill_and_resume_runs_only_pending(spark, documents_df, tmp_path):
     assert done_enc == set(range(CFG.index.term_buckets))
 
 
+def test_multi_table_transaction_atomicity(spark, tmp_path):
+    """A transaction touching three tables is all-or-nothing: before
+    commit nothing is visible (even though data files are staged), after
+    commit everything is, and an abandoned transaction changes nothing."""
+    cat = Catalog(str(tmp_path / "cat_txn"))
+    cat.write(spark.range(4).withColumnRenamed("id", "x"), "a")
+
+    txn = cat.transaction()
+    txn.append(spark.range(6).withColumnRenamed("id", "x"), "a")
+    txn.write(spark.range(3).withColumnRenamed("id", "y"), "b")
+    txn.append_rows(spark, "c", [(1, "ok")], "pid int, status string")
+    # staged but uncommitted: old state fully intact
+    assert cat.read(spark, "a").count() == 4
+    assert not cat.table_exists("b") and not cat.table_exists("c")
+    txn.commit()
+    assert cat.read(spark, "a").count() == 10
+    assert cat.read(spark, "b").count() == 3
+    assert cat.read(spark, "c").count() == 1
+
+    # abandoned transaction (crash analogue): catalog state unchanged
+    dead = cat.transaction()
+    dead.append(spark.range(99).withColumnRenamed("id", "x"), "a")
+    del dead
+    assert cat.read(spark, "a").count() == 10
+
+
+def test_crash_between_staging_and_commit_no_duplicates(
+        spark, documents_df, full_build, tmp_path):
+    """THE round-1 ADVICE window: kill after a tokenize partition's data
+    is staged but before its catalog commit.  Resume must re-run that
+    partition exactly once — no duplicated postings/docs rows, final
+    tables equal the single-shot build."""
+    cat = Catalog(str(tmp_path / "cat_torn"))
+    b = IndexBuilder(cat, CFG, n_batches=3,
+                     fault=FaultInjector("tokenize", after_commits=1,
+                                         where="before"))
+    with pytest.raises(BuildKilled):
+        b.build(documents_df)
+    # exactly one tokenize partition committed; the torn partition's
+    # staged data is invisible
+    ck = cat.read(spark, "checkpoints")
+    assert ck.filter(F.col("stage") == "tokenize").count() == 1
+    docs_before = cat.read(spark, "docs").count()
+
+    b2 = IndexBuilder(cat, CFG, n_batches=3)
+    b2.build(None)
+    got = b2.tables(spark)
+    assert got["docs"].count() > docs_before
+    # (term, doc_id) uniqueness — the invariant duplication would break
+    dup = (got["postings"].groupBy("term", "doc_id").count()
+           .filter(F.col("count") > 1).count())
+    assert dup == 0
+    assert sorted(map(tuple, got["docs"].collect())) == sorted(
+        map(tuple, full_build["docs"].collect()))
+    assert _collect_index(got["index"]) == _collect_index(full_build["index"])
+
+
 def test_resumed_equals_single_shot(spark, documents_df, full_build, tmp_path):
     cat = Catalog(str(tmp_path / "cat_eq"))
     b = IndexBuilder(cat, CFG, n_batches=3,
