@@ -1,52 +1,95 @@
 """spark-submit entry point for BM25 top-k queries against a built
-catalog.
+catalog — one-shot or interactive REPL (parity with the reference's
+query loop, /root/reference/searcher.py:202-219, which prompts, prints
+the ranked URLs and the elapsed milliseconds until an empty line quits).
 
     spark-submit --py-files dist/engine.zip tools/submit_query.py \
-        --catalog /data/index_catalog --query "machine learning" [-k 10]
-        [--mode wand|exhaustive]
+        --catalog /data/index_catalog [--query "machine learning"] [-k 10]
+        [--mode wand|exhaustive] [--weighted]
+
+Without --query, enters the REPL:
+
+    query> machine learning
+      1      4.6633  https://ics.example.edu/page/42/214
+      ...
+    [12.3 ms]
+    query>
 """
 
 from __future__ import annotations
 
 import argparse
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def run_query(spark, cat, query: str, k: int, mode: str, weighted: bool):
+    from ir_index_construction_spark.operators.topk import wand_topk
+    from ir_index_construction_spark.plans.query import bm25_topk_exhaustive
+
+    stats = cat.read(spark, "stats").collect()[0]
+    docs = cat.read(spark, "docs")
+    dictionary = cat.read(spark, "dictionary")
+    if mode == "wand":
+        return wand_topk(cat.read(spark, "index"), dictionary, docs,
+                         query, stats["n_docs"], float(stats["avgdl"]),
+                         k=k, weighted=weighted)
+    return bm25_topk_exhaustive(cat.read(spark, "postings"), dictionary,
+                                docs, query, stats["n_docs"],
+                                float(stats["avgdl"]), k=k,
+                                weighted=weighted)
+
+
+def print_results(rows):
+    if not rows:
+        print("  (no results)")
+    for r in rows:
+        print(f"{r['rank']:3}  {r['score']:10.4f}  {r['url']}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--catalog", required=True)
-    ap.add_argument("--query", required=True)
+    ap.add_argument("--query", default=None,
+                    help="one-shot query; omit for the interactive REPL")
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--mode", choices=["wand", "exhaustive"], default="wand")
+    ap.add_argument("--weighted", action="store_true",
+                    help="rank by BM25 x tag-importance (imp/10)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
-    from ir_index_construction_spark.operators.topk import wand_topk
-    from ir_index_construction_spark.plans.query import bm25_topk_exhaustive
     from ir_index_construction_spark.sources.catalog import Catalog
 
     spark = (SparkSession.builder.appName("ir-query")
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
              .getOrCreate())
     cat = Catalog(args.catalog)
-    stats = cat.read(spark, "stats").collect()[0]
-    docs = cat.read(spark, "docs")
-    dictionary = cat.read(spark, "dictionary")
 
-    if args.mode == "wand":
-        out = wand_topk(cat.read(spark, "index"), dictionary, docs,
-                        args.query, stats["n_docs"], float(stats["avgdl"]),
-                        k=args.k)
-    else:
-        out = bm25_topk_exhaustive(cat.read(spark, "postings"), dictionary,
-                                   docs, args.query, stats["n_docs"],
-                                   float(stats["avgdl"]), k=args.k)
-    for r in out.orderBy("rank").collect():
-        print(f"{r['rank']:3}  {r['score']:10.4f}  {r['url']}")
+    if args.query is not None:
+        out = run_query(spark, cat, args.query, args.k, args.mode,
+                        args.weighted)
+        print_results(out.orderBy("rank").collect())
+        return
+
+    # REPL (searcher.py:202-219): empty line exits, elapsed ms printed
+    while True:
+        try:
+            query = input("query> ").strip()
+        except EOFError:
+            break
+        if not query:
+            break
+        t0 = time.time()
+        rows = run_query(spark, cat, query, args.k, args.mode,
+                         args.weighted).orderBy("rank").collect()
+        elapsed_ms = (time.time() - t0) * 1000.0
+        print_results(rows)
+        print(f"[{elapsed_ms:.1f} ms]")
 
 
 if __name__ == "__main__":
