@@ -60,7 +60,8 @@ def clean_corpus(documents: DataFrame) -> DataFrame:
 
 
 def dedup_assign_ids(df: DataFrame, sort_cols: list | None = None,
-                     id_partitions: int | None = None) -> tuple:
+                     id_partitions: int | None = None,
+                     stats_out: dict | None = None) -> tuple:
     """First-occurrence dedup + dense deterministic doc_id for any
     DataFrame with a ``url`` column.  Returns (with_ids, persisted_handle);
     caller owns ``handle.unpersist()`` once with_ids is materialized.
@@ -72,6 +73,12 @@ def dedup_assign_ids(df: DataFrame, sort_cols: list | None = None,
     adjacent duplicate urls (keep first = earliest warc_ts) and attaches
     doc_id = global url rank (boundary-invariant, stable across runs and
     cluster sizes).
+
+    stats_out (optional dict) receives {'n_rows', 'n_distinct_keys'}
+    where keys = the first two sort_cols — measured on the SAME pass as
+    the id offsets, so callers can detect exact-key duplicates (e.g. two
+    crawl rows with identical url AND warc_ts) without any extra scan
+    and only pay a dedup shuffle when one actually exists.
     """
     spark = df.sparkSession
     if sort_cols is None:
@@ -85,9 +92,16 @@ def dedup_assign_ids(df: DataFrame, sort_cols: list | None = None,
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    counts = {r["_pid"]: r["n"] for r in
-              part.groupBy("_pid").agg(
-                  F.countDistinct("url").alias("n")).collect()}
+    key_cols = sort_cols[:2]
+    rows = part.groupBy("_pid").agg(
+        F.countDistinct("url").alias("n"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct(*key_cols).alias("n_keys"),
+    ).collect()
+    counts = {r["_pid"]: r["n"] for r in rows}
+    if stats_out is not None:
+        stats_out["n_rows"] = sum(r["n_rows"] for r in rows)
+        stats_out["n_distinct_keys"] = sum(r["n_keys"] for r in rows)
     offsets = {}
     acc = 0
     for pid in sorted(counts):

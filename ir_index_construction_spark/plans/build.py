@@ -66,17 +66,21 @@ def build_tables(documents: DataFrame, persist: bool = True) -> BuiltTables:
     to dedup first.
     """
     cleaned = defrag_and_filter(documents)
+    key_stats: dict = {}
     key_ids, handle = dedup_assign_ids(
-        cleaned.select("url", "warc_ts"), ["url", "warc_ts"])
+        cleaned.select("url", "warc_ts"), ["url", "warc_ts"],
+        stats_out=key_stats)
     tok_raw = tokenize_corpus(cleaned)
     # exact re-fetches (identical url AND warc_ts) collapse to ONE key_ids
     # row but would match the inner join twice, duplicating the doc's
-    # postings; dedup the attach side on the join key.  Terms are a
-    # deterministic function of html, so for true re-fetches any survivor
-    # is identical; the aggregate shuffles on exactly the join keys, so
-    # at cluster scale the join reuses its output partitioning (no extra
-    # exchange of the tokenized rows).
-    tok_raw = tok_raw.dropDuplicates(["url", "warc_ts"])
+    # postings; dedup the attach side on the join key — but ONLY when the
+    # id pass actually saw a duplicate key (measured for free on its own
+    # shuffle): the common path keeps the zero-extra-shuffle attach, the
+    # pathological path pays one dedup exchange that the join then reuses
+    # (same keys).  Terms are a deterministic function of html, so for
+    # true re-fetches any survivor is identical.
+    if key_stats["n_rows"] > key_stats["n_distinct_keys"]:
+        tok_raw = tok_raw.dropDuplicates(["url", "warc_ts"])
     with_ids = tok_raw.join(key_ids, ["url", "warc_ts"], "inner")
     if persist:
         with_ids = with_ids.persist()
