@@ -66,19 +66,34 @@ def _host_busy() -> float:
 
 
 def run(cpus: int, sf_dir: str, n_docs: int, skip_extras: bool = False) -> dict:
+    """One pinned bench run modeling an N-core cluster:
+
+    * ``taskset -c 0..N-1`` pins the WHOLE process tree (JVM + GC/JIT/
+      shuffle service threads + Python workers) to N hardware threads.
+      Unpinned, a local[2] session freeloads its service threads onto
+      the host's other 30 cores (measured 3.5 avg busy cores for
+      "local[2]") and the scaling ratio under-measures the engine.
+    * driver memory scales with cores (4g/core), as on a real cluster
+      where 4N executors bring 4N x executor-memory.  Equal per-core
+      memory keeps the comparison fair in both directions; a fixed
+      total would hand the small config 4x the per-core heap (and the
+      wide config measurable GC burn: 28g vs 16g at local[8] cut
+      process-tree CPU from 629s to 464s on identical work).
+    """
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_BUILD_REPS="1",
                SPARK_GRAFT_BENCH_DOCS=str(n_docs),
                SPARK_GRAFT_CORPUS_DIR=f"/tmp/ir_scale_corpus_{n_docs}",
-               SPARK_GRAFT_DRIVER_MEM="16g")
+               SPARK_GRAFT_DRIVER_MEM=f"{4 * cpus}g")
     if skip_extras:
         env["SPARK_GRAFT_SKIP_EXTRAS"] = "1"
     busy0 = _host_busy()
     t0 = time.time()
     out = subprocess.run(
-        [sys.executable, str(REPO / "bench.py")],
+        ["taskset", "-c", f"0-{cpus - 1}",
+         sys.executable, str(REPO / "bench.py")],
         env=env, capture_output=True, text=True, cwd=str(REPO), timeout=3600)
     wall = time.time() - t0
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
@@ -142,7 +157,17 @@ North-rule criterion: >= 0.8 throughput scaling efficiency between N and
 the evidence is the IDENTICAL index-build job at `local[{n_small}]` (N)
 vs `local[{n_big}]` (4N) reading the same staged {n_docs}-doc
 deterministic synthetic corpus parquet (seed-fixed, byte-identical input
-files).  Reps are INTERLEAVED (N, 4N, N, 4N, ...), fresh JVM each, so
+files).  Each run is **CPU-pinned** (`taskset -c 0..N-1`) so the whole
+process tree — JVM task threads, GC/JIT/shuffle service threads, Python
+workers — really lives on N hardware threads: unpinned, a `local[2]`
+session's service threads freeload on the host's other 30 cores
+(measured 3.5 average busy cores for "local[2]"), silently inflating
+the small-config baseline and under-measuring the engine.  Driver
+memory scales with cores (4g/core), as executor memory does on a real
+cluster; per-core heap is therefore EQUAL across configs (a fixed
+total would hand the small config 4x the per-core heap and the wide
+config pure GC burn).  Reps are INTERLEAVED (N, 4N, N, 4N, ...), fresh
+JVM each, so
 both configs see the same co-tenant noise process; best-of-{reps} per
 config (shared-VM noise suppression — a 4N run needs {n_big} free cores
 and is hit ~4x harder by a co-tenant burst than an N run, so the best

@@ -105,7 +105,13 @@ def generate_corpus(spark, n_docs: int, out_dir: str):
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark("ir-bench", cpus=cpus, shuffle_partitions=max(cpus, 8))
+    # 4 shuffle partitions per core: a 17M-row applyInPandas input split
+    # 8 ways means ~2M-row Arrow conversions held live on every core at
+    # once — GC pressure that burned 2.3x the CPU at local[8] vs
+    # local[2].  Smaller tasks keep heap flat; AQE coalesces any splits
+    # that end up tiny, so over-partitioning costs nothing.
+    spark = get_spark("ir-bench", cpus=cpus,
+                      shuffle_partitions=max(4 * cpus, 16))
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict = {}

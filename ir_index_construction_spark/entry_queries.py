@@ -947,6 +947,56 @@ LIMIT 10
 """
 
 
+def q_wand_boolean(spark, sf_dir):
+    """Boolean-AND mode through the SAME compressed-index WAND scorer
+    (pruning disabled, all-terms candidate filter — operators/topk.py),
+    hash-checked against DuckDB computing BM25 over the intersection."""
+    from .operators.topk import wand_topk
+
+    index, dictionary, docs_dim, n_docs, avgdl = _unstemmed_index(spark, sf_dir)
+    out = wand_topk(index, dictionary, docs_dim, " AND ".join(BM25_QUERY_TERMS),
+                    n_docs, avgdl, k=10,
+                    pre_parsed=(list(BM25_QUERY_TERMS), True))
+    return out.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id",
+        F.round("score", 6).alias("score"))
+
+
+SQL_WAND_BOOLEAN = f"""
+WITH {SQL_TOKS},
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks2 GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM toks2)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q AS (
+    SELECT d.term, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+    FROM dict d, consts c
+    WHERE d.term IN {tuple(BM25_QUERY_TERMS)!r}
+),
+scores AS (
+    SELECT p.doc_id,
+           sum(q.idf * ((p.tf * {K1 + 1.0}) /
+                 (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))))) AS score,
+           count(*) AS nt
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+    GROUP BY p.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores
+WHERE nt = {len(BM25_QUERY_TERMS)}
+ORDER BY rank
+LIMIT 10
+"""
+
+
 def q_extract_invariant(spark, sf_dir):
     """Self-verifying per-row invariant: rows where the Arrow-batched
     extraction UDF's text differs from the corpus `text` column (itself
@@ -996,6 +1046,7 @@ def queries() -> dict:
         "q25_extract_invariant": q_extract_invariant,
         "q26_weighted_topk": q_weighted_topk,
         "q27_wand_unstemmed": q_wand_unstemmed,
+        "q28_wand_boolean": q_wand_boolean,
     }
 
 
@@ -1029,4 +1080,5 @@ def oracle_sql() -> dict:
         # unstemmed, hash-checked against DuckDB.
         "q26_weighted_topk": SQL_WEIGHTED_TOPK,
         "q27_wand_unstemmed": SQL_WAND_UNSTEMMED,
+        "q28_wand_boolean": SQL_WAND_BOOLEAN,
     }

@@ -160,6 +160,104 @@ def encode_chunks(doc_ids, tfs, dls, imps, avgdl: float,
     return chunks
 
 
+def encode_chunks_many(doc_ids, tfs, dls, imps, term_starts, avgdl: float,
+                       k1: float, b: float, block_size: int = 128,
+                       chunk_blocks: int = 1024) -> list:
+    """Batched encoder: MANY terms' postings in one call, bit-identical
+    output to per-term ``encode_chunks``.
+
+    Inputs are the concatenation of every term's (doc_id-sorted) postings
+    in term order; ``term_starts[t]`` is term t's start offset.  All the
+    numpy work — BM25 weights, block boundaries, block maxima
+    (``maximum.reduceat`` over the block-start vector, valid because
+    consecutive terms' blocks tile the array contiguously), and the four
+    varbyte streams — runs ONCE over the whole group instead of ~30
+    small-array ops per term, which removes the per-term numpy fixed
+    cost that dominated the encode stage (measured ~1ms/term -> ~10x
+    cheaper).  Only the final payload assembly slices bytes per chunk.
+
+    Returns: list over terms of lists of chunk dicts (encode_chunks
+    format)."""
+    doc_ids = np.asarray(doc_ids, np.int64)
+    n = len(doc_ids)
+    tfs = np.asarray(tfs, np.int64)
+    dls = np.asarray(dls, np.int64)
+    imps = np.asarray(imps, np.int64)
+    term_starts = np.asarray(term_starts, np.int64)
+    n_terms = len(term_starts)
+    if n == 0 or n_terms == 0:
+        return []
+    term_ends = np.concatenate((term_starts[1:], [n]))
+    lens = term_ends - term_starts
+
+    weights = bm25_tf_norm(tfs, dls, avgdl, k1, b)
+    wweights = weights * (imps.astype(np.float64) / 10.0)
+
+    # ---- global block layout (blocks tile the posting array) ----
+    nb_term = (lens + block_size - 1) // block_size
+    total_blocks = int(nb_term.sum())
+    term_of_block = np.repeat(np.arange(n_terms), nb_term)
+    first_block_of_term = np.concatenate(([0], np.cumsum(nb_term)[:-1]))
+    block_ord = np.arange(total_blocks) - first_block_of_term[term_of_block]
+    block_starts = term_starts[term_of_block] + block_ord * block_size
+    block_bounds = np.minimum(block_starts + block_size,
+                              term_ends[term_of_block])
+    block_last = doc_ids[block_bounds - 1]
+    block_maxw = np.maximum.reduceat(weights, block_starts)
+    block_maxww = np.maximum.reduceat(wweights, block_starts)
+
+    # ---- gaps: global first difference, absolute at each CHUNK start ----
+    gaps = np.empty(n, np.int64)
+    gaps[0] = doc_ids[0]
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
+    nc_term = (nb_term + chunk_blocks - 1) // chunk_blocks
+    total_chunks = int(nc_term.sum())
+    term_of_chunk = np.repeat(np.arange(n_terms), nc_term)
+    first_chunk_of_term = np.concatenate(([0], np.cumsum(nc_term)[:-1]))
+    chunk_ord = np.arange(total_chunks) - first_chunk_of_term[term_of_chunk]
+    # chunk c of term t starts at block (first_block + c*chunk_blocks)
+    chunk_first_block = first_block_of_term[term_of_chunk] + chunk_ord * chunk_blocks
+    chunk_last_block = np.minimum(chunk_first_block + chunk_blocks,
+                                  first_block_of_term[term_of_chunk] + nb_term[term_of_chunk]) - 1
+    chunk_p0 = block_starts[chunk_first_block]
+    chunk_p1 = block_bounds[chunk_last_block]
+    gaps[chunk_p0] = doc_ids[chunk_p0]
+
+    # ---- the four varbyte streams, encoded ONCE over the whole group ----
+    streams = [vb_encode(arr) for arr in (gaps, tfs, dls, imps)]
+
+    out: list = [[] for _ in range(n_terms)]
+    for c in range(total_chunks):
+        b0, b1 = int(chunk_first_block[c]), int(chunk_last_block[c])
+        p0, p1 = int(chunk_p0[c]), int(chunk_p1[c])
+        nb = b1 - b0 + 1
+        header = np.array([nb], np.uint32).tobytes()
+        parts = [header]
+        ends_rel = []
+        for sbuf, ends in streams:
+            base = int(ends[p0 - 1]) if p0 > 0 else 0
+            rel = (ends[block_bounds[b0:b1 + 1] - 1] - base).astype(np.uint32)
+            ends_rel.append((base, int(ends[p1 - 1]), rel))
+        for _, _, rel in ends_rel:
+            parts.append(rel.tobytes())
+        parts.append((block_bounds[b0:b1 + 1]
+                      - block_starts[b0:b1 + 1]).astype(np.uint16).tobytes())
+        for (sbuf, _), (lo, hi, _) in zip(streams, ends_rel):
+            parts.append(sbuf[lo:hi])
+        t = int(term_of_chunk[c])
+        out[t].append({
+            "chunk": int(chunk_ord[c]),
+            "n_postings": p1 - p0,
+            "first_doc": int(doc_ids[p0]),
+            "last_doc": int(doc_ids[p1 - 1]),
+            "payload": b"".join(parts),
+            "block_last_doc": block_last[b0:b1 + 1].tolist(),
+            "block_max_score": block_maxw[b0:b1 + 1].tolist(),
+            "block_max_wscore": block_maxww[b0:b1 + 1].tolist(),
+        })
+    return out
+
+
 def decode_chunk(payload, block_last_doc, block_sel=None, with_imp=True):
     """Decode selected blocks of one chunk.
 

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..config import BM25Config, IndexConfig
-from ..functions.codec import encode_chunks
+from ..functions.codec import encode_chunks_many
 from ..schemas import INDEX, SALTED_RUNS
 
 
@@ -40,19 +40,31 @@ def _with_keys(postings: DataFrame, cfg: IndexConfig) -> DataFrame:
 
 
 def _pack_runs(pdf: pd.DataFrame):
-    """One (shard, tb, salt) group -> one packed run row per term."""
+    """One (shard, tb, salt) group -> one packed run row per term.
+
+    Vectorized: one factorize + one lexsort over the whole group, then
+    per-term boundary slicing — a pandas groupby here costs ~75us per
+    term group (hundreds of thousands per build), which dominated the
+    pack stage."""
     shard = int(pdf["shard"].iloc[0])
     salt = int(pdf["salt"].iloc[0])
-    out = []
-    for term, g in pdf.groupby("term", sort=False):
-        order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
-        out.append((
-            shard, term, salt, len(g),
-            g["doc_id"].to_numpy(np.int64)[order].tobytes(),
-            g["tf"].to_numpy(np.int32)[order].tobytes(),
-            g["dl"].to_numpy(np.int32)[order].tobytes(),
-            g["imp"].to_numpy(np.int32)[order].tobytes(),
-        ))
+    codes, uniques = pd.factorize(pdf["term"], sort=False)
+    doc = pdf["doc_id"].to_numpy(np.int64)
+    order = np.lexsort((doc, codes))
+    codes_s = codes[order]
+    doc_s = doc[order]
+    tf_s = pdf["tf"].to_numpy(np.int32)[order]
+    dl_s = pdf["dl"].to_numpy(np.int32)[order]
+    imp_s = pdf["imp"].to_numpy(np.int32)[order]
+    bounds = np.flatnonzero(np.diff(codes_s)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(codes_s)]))
+    out = [
+        (shard, uniques[codes_s[s]], salt, int(e - s),
+         doc_s[s:e].tobytes(), tf_s[s:e].tobytes(),
+         dl_s[s:e].tobytes(), imp_s[s:e].tobytes())
+        for s, e in zip(starts, ends)
+    ]
     return pd.DataFrame(out, columns=["shard", "term", "salt", "n",
                                       "doc_ids", "tfs", "dls", "imps"])
 
@@ -60,24 +72,36 @@ def _pack_runs(pdf: pd.DataFrame):
 def _make_encode_group(avgdl: float, bm25: BM25Config, cfg: IndexConfig):
     def encode_group(pdf: pd.DataFrame):
         shard = int(pdf["shard"].iloc[0])
+        # unpack every salted run, tag postings with a term code, and
+        # sort ONCE by (term, doc_id) — the lexsort IS the merge of each
+        # term's S sorted salted runs (doc_ids are globally unique per
+        # term, SURVEY.md §7.2 #3) — then hand the whole group to the
+        # batched encoder (codec.encode_chunks_many): all weights/blocks/
+        # varbyte streams are computed in single whole-group numpy passes
+        codes, uniques = pd.factorize(pdf["term"], sort=False)
+        run_docs = [np.frombuffer(b, np.int64) for b in pdf["doc_ids"]]
+        run_lens = np.array([len(d) for d in run_docs], np.int64)
+        term_idx = np.repeat(codes, run_lens)
+        doc_all = np.concatenate(run_docs)
+        tf_all = np.concatenate([np.frombuffer(b, np.int32) for b in pdf["tfs"]])
+        dl_all = np.concatenate([np.frombuffer(b, np.int32) for b in pdf["dls"]])
+        imp_all = np.concatenate([np.frombuffer(b, np.int32) for b in pdf["imps"]])
+        order = np.lexsort((doc_all, term_idx))
+        term_s = term_idx[order]
+        bounds = np.flatnonzero(np.diff(term_s)) + 1
+        term_starts = np.concatenate(([0], bounds))
+        term_ends = np.concatenate((bounds, [len(term_s)]))
+
+        per_term = encode_chunks_many(
+            doc_all[order], tf_all[order], dl_all[order], imp_all[order],
+            term_starts, avgdl=avgdl, k1=bm25.k1, b=bm25.b,
+            block_size=cfg.block_size, chunk_blocks=cfg.chunk_blocks)
+
         rows = []
-        for term, g in pdf.groupby("term", sort=False):
-            doc_ids = np.concatenate([
-                np.frombuffer(b, np.int64) for b in g["doc_ids"]])
-            tfs = np.concatenate([np.frombuffer(b, np.int32) for b in g["tfs"]])
-            dls = np.concatenate([np.frombuffer(b, np.int32) for b in g["dls"]])
-            imps = np.concatenate([np.frombuffer(b, np.int32) for b in g["imps"]])
-            # merge the S sorted salted runs (doc_ids are globally unique
-            # per term, so a stable argsort over the concat is an exact
-            # merge; SURVEY.md §7.2 #3)
-            order = np.argsort(doc_ids, kind="stable")
-            doc_ids = doc_ids[order]
-            df_shard = len(doc_ids)
-            for c in encode_chunks(
-                doc_ids, tfs[order], dls[order], imps[order],
-                avgdl=avgdl, k1=bm25.k1, b=bm25.b,
-                block_size=cfg.block_size, chunk_blocks=cfg.chunk_blocks,
-            ):
+        for t, chunks in enumerate(per_term):
+            term = uniques[term_s[term_starts[t]]]
+            df_shard = int(term_ends[t] - term_starts[t])
+            for c in chunks:
                 rows.append((shard, term, c["chunk"], df_shard,
                              c["n_postings"], c["first_doc"], c["last_doc"],
                              c["payload"], c["block_last_doc"],

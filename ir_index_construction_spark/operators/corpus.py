@@ -59,9 +59,24 @@ def clean_corpus(documents: DataFrame) -> DataFrame:
     )
 
 
+class _IdPassHandle:
+    """Owns the id pass's persisted frames; unpersist() frees them all."""
+
+    def __init__(self, *dfs):
+        self._dfs = [d for d in dfs if d is not None]
+
+    def unpersist(self, blocking: bool = False):
+        for d in self._dfs:
+            try:
+                d.unpersist(blocking=blocking)
+            except Exception:
+                pass
+
+
 def dedup_assign_ids(df: DataFrame, sort_cols: list | None = None,
                      id_partitions: int | None = None,
-                     stats_out: dict | None = None) -> tuple:
+                     stats_out: dict | None = None,
+                     cache_input: bool = False) -> tuple:
     """First-occurrence dedup + dense deterministic doc_id for any
     DataFrame with a ``url`` column.  Returns (with_ids, persisted_handle);
     caller owns ``handle.unpersist()`` once with_ids is materialized.
@@ -79,6 +94,12 @@ def dedup_assign_ids(df: DataFrame, sort_cols: list | None = None,
     the id offsets, so callers can detect exact-key duplicates (e.g. two
     crawl rows with identical url AND warc_ts) without any extra scan
     and only pay a dedup shuffle when one actually exists.
+
+    cache_input=True persists df BEFORE the range exchange: the range
+    partitioner's sampling pass and the exchange itself each evaluate
+    the child plan, so without a cache the upstream scan + url UDF run
+    twice.  Only set it for THIN projections (the batch build's
+    (url, warc_ts) id pass) — never for frames carrying html.
     """
     spark = df.sparkSession
     if sort_cols is None:
@@ -86,6 +107,8 @@ def dedup_assign_ids(df: DataFrame, sort_cols: list | None = None,
     if id_partitions is None:
         id_partitions = max(spark.sparkContext.defaultParallelism, 8)
 
+    if cache_input:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     part = (
         df.repartitionByRange(id_partitions, "url")
         .sortWithinPartitions(*sort_cols)
@@ -137,7 +160,8 @@ def dedup_assign_ids(df: DataFrame, sort_cols: list | None = None,
             local += len(pdf)
             yield pdf[out_cols]
 
-    return part.mapInPandas(dedup_and_attach, schema=out_schema), part
+    handle = _IdPassHandle(part, df if cache_input else None)
+    return part.mapInPandas(dedup_and_attach, schema=out_schema), handle
 
 
 def ingest(documents: DataFrame, id_partitions: int | None = None) -> tuple:

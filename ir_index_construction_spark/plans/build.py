@@ -69,7 +69,7 @@ def build_tables(documents: DataFrame, persist: bool = True) -> BuiltTables:
     key_stats: dict = {}
     key_ids, handle = dedup_assign_ids(
         cleaned.select("url", "warc_ts"), ["url", "warc_ts"],
-        stats_out=key_stats)
+        stats_out=key_stats, cache_input=True)
     tok_raw = tokenize_corpus(cleaned)
     # exact re-fetches (identical url AND warc_ts) collapse to ONE key_ids
     # row but would match the inner join twice, duplicating the doc's

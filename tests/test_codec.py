@@ -119,6 +119,38 @@ def test_decode_without_imp_stream():
         assert (i1 > 0).all()
 
 
+@pytest.mark.parametrize("block,cblocks,seed", [
+    (128, 1024, 1), (16, 4, 2), (8, 2, 3), (64, 8, 4),
+])
+def test_encode_many_bit_identical_to_per_term(block, cblocks, seed):
+    """The batched multi-term encoder must produce byte-identical chunks
+    to per-term encode_chunks — payload bytes AND all metadata."""
+    from ir_index_construction_spark.functions.codec import encode_chunks_many
+
+    rng = np.random.default_rng(seed)
+    terms = []
+    for t in range(40):
+        n = int(rng.integers(1, 600))
+        d, tf, dl, imp = _random_postings(n, seed=seed * 100 + t)
+        terms.append((d, tf, dl, imp))
+    doc_ids = np.concatenate([t[0] for t in terms])
+    tfs = np.concatenate([t[1] for t in terms])
+    dls = np.concatenate([t[2] for t in terms])
+    imps = np.concatenate([t[3] for t in terms])
+    starts = np.cumsum([0] + [len(t[0]) for t in terms[:-1]])
+
+    got = encode_chunks_many(doc_ids, tfs, dls, imps, starts, avgdl=150.0,
+                             k1=K1, b=B, block_size=block,
+                             chunk_blocks=cblocks)
+    assert len(got) == len(terms)
+    for (d, tf, dl, imp), chunks in zip(terms, got):
+        want = encode_chunks(d, tf, dl, imp, avgdl=150.0, k1=K1, b=B,
+                             block_size=block, chunk_blocks=cblocks)
+        assert len(chunks) == len(want)
+        for g, w in zip(chunks, want):
+            assert g == w, (g["chunk"], w["chunk"])
+
+
 def test_compression_ratio_on_dense_lists():
     # dense doc ids (head term): gaps ~1 -> ~1 byte/gap; raw is 8 bytes
     doc_ids = np.arange(100000, dtype=np.int64) * 2
