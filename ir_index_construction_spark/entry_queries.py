@@ -997,6 +997,73 @@ LIMIT 10
 """
 
 
+def q_wand_batch(spark, sf_dir):
+    """A 3-query WORKLOAD (plain OR, boolean AND, duplicate-term) through
+    wand_topk_batch — ONE term-filtered index scan + one shard-scoring
+    job for all queries (operators/topk.py) — hash-checked against DuckDB
+    recomputing every query exhaustively and ranking per query_id."""
+    from .operators.topk import wand_topk_batch
+
+    index, dictionary, docs_dim, n_docs, avgdl = _unstemmed_index(spark, sf_dir)
+    pre = {
+        "or3": (list(BM25_QUERY_TERMS), False),
+        "and3": (list(BM25_QUERY_TERMS), True),
+        "dup": (["data", "data", "query"], False),
+    }
+    out = wand_topk_batch(index, dictionary, docs_dim,
+                          {qid: "" for qid in pre}, n_docs, avgdl, k=10,
+                          pre_parsed=pre)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "doc_id",
+        F.round("score", 6).alias("score"))
+
+
+SQL_WAND_BATCH = f"""
+WITH {SQL_TOKS},
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks2 GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM toks2)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+qterms AS (SELECT * FROM (VALUES
+    ('or3', 'data', 1, false), ('or3', 'query', 1, false), ('or3', 'scan', 1, false),
+    ('and3', 'data', 1, true), ('and3', 'query', 1, true), ('and3', 'scan', 1, true),
+    ('dup', 'data', 2, false), ('dup', 'query', 1, false)
+) AS t(query_id, term, mult, is_bool)),
+q AS (
+    SELECT qt.query_id, qt.term, qt.mult, qt.is_bool,
+           ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+    FROM qterms qt JOIN dict d ON qt.term = d.term CROSS JOIN consts c
+),
+nreq AS (SELECT query_id, count(*) AS n FROM q GROUP BY 1),
+scores AS (
+    SELECT q.query_id, p.doc_id, bool_or(q.is_bool) AS is_bool,
+           sum((q.mult * q.idf) * ((p.tf * {K1 + 1.0}) /
+                 (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))))) AS score,
+           count(*) AS nt
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT s.query_id, s.doc_id, s.score,
+           row_number() OVER (PARTITION BY s.query_id
+                              ORDER BY s.score DESC, s.doc_id ASC) AS rank
+    FROM scores s JOIN nreq ON s.query_id = nreq.query_id
+    WHERE (NOT s.is_bool) OR s.nt = nreq.n
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, round(score, 6) AS score
+FROM ranked
+WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
 def q_extract_invariant(spark, sf_dir):
     """Self-verifying per-row invariant: rows where the Arrow-batched
     extraction UDF's text differs from the corpus `text` column (itself
@@ -1047,6 +1114,7 @@ def queries() -> dict:
         "q26_weighted_topk": q_weighted_topk,
         "q27_wand_unstemmed": q_wand_unstemmed,
         "q28_wand_boolean": q_wand_boolean,
+        "q29_wand_batch": q_wand_batch,
     }
 
 
@@ -1081,4 +1149,5 @@ def oracle_sql() -> dict:
         "q26_weighted_topk": SQL_WEIGHTED_TOPK,
         "q27_wand_unstemmed": SQL_WAND_UNSTEMMED,
         "q28_wand_boolean": SQL_WAND_BOOLEAN,
+        "q29_wand_batch": SQL_WAND_BATCH,
     }

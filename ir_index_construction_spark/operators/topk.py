@@ -220,7 +220,8 @@ def make_shard_scorer(term_meta: dict, ordered_terms: list, k: int,
 def wand_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
               query: str, n_docs: int, avgdl: float, k: int = 10,
               bm25: BM25Config = BM25Config(), weighted: bool = False,
-              pre_parsed: tuple | None = None) -> DataFrame:
+              pre_parsed: tuple | None = None,
+              idf_cache: dict | None = None) -> DataFrame:
     """TOPK (rank, doc_id, url, score) via the compressed index.
 
     Plan: term-filtered scan of the index (parquet row-group pruning on
@@ -239,7 +240,7 @@ def wand_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
     if not terms or n_docs == 0 or avgdl == 0:
         return empty_topk(spark)
 
-    tf_idf = query_term_idf(spark, dictionary, terms, n_docs)
+    tf_idf = query_term_idf(spark, dictionary, terms, n_docs, cache=idf_cache)
     counts = Counter(terms)
     ordered = [t for t in dict.fromkeys(terms) if t in tf_idf]
     if is_bool and len(ordered) < len(counts):
@@ -259,4 +260,132 @@ def wand_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
             Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         ).cast("int"))
         .select("rank", "doc_id", "url", "score")
+    )
+
+
+_BATCH_LOCAL_SCHEMA = "query_id string, doc_id long, score double"
+
+
+def make_batch_shard_scorer(specs: list, k: int, avgdl: float,
+                            bm25: BM25Config, weighted: bool = False):
+    """Score a whole query WORKLOAD in one pass over each shard.
+
+    specs: [(query_id, ordered_terms, {term: (mult, idf)}, is_bool,
+    n_required)].  Every term the workload touches is decoded + tf-
+    normalized ONCE per shard and reused by every query that contains it
+    — with a realistic workload's Zipfian term overlap, decode cost is
+    amortized across queries instead of paid per query.  Block pruning
+    is intentionally skipped: per-query pruning would re-decode
+    overlapping block subsets per query, which at batch sizes > ~2
+    costs more than it saves (and pruning is score-lossless, so results
+    are unchanged).  Per-query accumulation order is identical to the
+    single-query scorer (query-term-ordered concat -> bincount), so each
+    query's rows are bit-identical to its wand_topk() output."""
+    k1, b = bm25.k1, bm25.b
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        decoded = {}
+        for term, g in pdf.groupby("term", sort=False):
+            c = _TermCursor(g, 1.0, weighted)
+            d, t, l, i = c.decode(None, with_imp=weighted)
+            w = bm25_tf_norm(t, l, avgdl, k1, b)
+            if weighted:
+                w = w * (i.astype(np.float64) / 10.0)
+            decoded[term] = (d, w)
+
+        out_q, out_d, out_s = [], [], []
+        for qid, ordered, meta, is_bool, n_required in specs:
+            present = [t for t in ordered if t in decoded]
+            if not present or (is_bool and len(present) < n_required):
+                continue
+            docs_cat = np.concatenate([decoded[t][0] for t in present])
+            if len(docs_cat) == 0:
+                continue
+            scores_cat = np.concatenate(
+                [(meta[t][0] * meta[t][1]) * decoded[t][1] for t in present])
+            uniq_docs, inv = np.unique(docs_cat, return_inverse=True)
+            sums = np.bincount(inv, weights=scores_cat, minlength=len(uniq_docs))
+            if is_bool:
+                hits = np.bincount(inv, minlength=len(uniq_docs))
+                m = hits == n_required
+                uniq_docs, sums = uniq_docs[m], sums[m]
+                if len(uniq_docs) == 0:
+                    continue
+            order = np.lexsort((uniq_docs, -sums))[:k]
+            out_q.append(np.full(len(order), qid, dtype=object))
+            out_d.append(uniq_docs[order])
+            out_s.append(sums[order])
+        if not out_d:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="object"),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        return pd.DataFrame({"query_id": np.concatenate(out_q),
+                             "doc_id": np.concatenate(out_d),
+                             "score": np.concatenate(out_s)})
+
+    return score_shard
+
+
+def wand_topk_batch(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
+                    queries: dict, n_docs: int, avgdl: float, k: int = 10,
+                    bm25: BM25Config = BM25Config(), weighted: bool = False,
+                    pre_parsed: dict | None = None,
+                    idf_cache: dict | None = None) -> DataFrame:
+    """Evaluate a query WORKLOAD in one Spark job: (query_id, rank,
+    doc_id, url, score), rank-partitioned per query, each query's rows
+    bit-identical to its single-query wand_topk() result.
+
+    Per-query wand_topk pays fixed per-job costs (driver scheduling,
+    Python-worker round trip, broadcast) that dominate latency once the
+    index is pruned well — ~1s/query at local scale, and on a 1000-
+    executor cluster a whole scheduling wave per query.  A batch
+    evaluator is the shape a training-data pipeline actually needs
+    (score 10^4 mined queries against the corpus): ONE term-filtered
+    index scan covering the union of all query terms, shard-local
+    scoring of every query per shard (terms decoded once, reused across
+    queries), one window rank over <= n_queries x n_shards x k rows,
+    one broadcast url back-join.  Driver-side work stays O(total query
+    terms): one dictionary lookup job for the union term set.
+
+    queries: {query_id: query_text}.  pre_parsed: {query_id: (terms,
+    is_bool)} bypasses parse_query (unstemmed indexes).  Queries whose
+    terms are all absent (or boolean queries missing any term —
+    searcher.py:153-155) contribute zero rows, exactly like their
+    single-query empty result."""
+    spark = index.sparkSession
+    parsed = {}
+    for qid, text in queries.items():
+        parsed[qid] = (pre_parsed[qid] if pre_parsed and qid in pre_parsed
+                       else parse_query(text))
+
+    union_terms = sorted({t for terms, _ in parsed.values() for t in terms})
+    empty = spark.createDataFrame([], "query_id string, rank int, doc_id long,"
+                                      " url string, score double")
+    if not union_terms or n_docs == 0 or avgdl == 0:
+        return empty
+    tf_idf = query_term_idf(spark, dictionary, union_terms, n_docs,
+                            cache=idf_cache)
+
+    specs = []
+    for qid, (terms, is_bool) in parsed.items():
+        counts = Counter(terms)
+        ordered = [t for t in dict.fromkeys(terms) if t in tf_idf]
+        if not ordered or (is_bool and len(ordered) < len(counts)):
+            continue                       # empty result for this query
+        meta = {t: (counts[t], tf_idf[t][1]) for t in ordered}
+        specs.append((qid, ordered, meta, is_bool, len(ordered)))
+    if not specs:
+        return empty
+
+    needed = sorted({t for _, ordered, *_ in specs for t in ordered})
+    rows = index.filter(F.col("term").isin(needed))
+    scorer = make_batch_shard_scorer(specs, k, avgdl, bm25, weighted=weighted)
+    local = rows.groupBy("shard").applyInPandas(scorer, _BATCH_LOCAL_SCHEMA)
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    topk = (local.withColumn("rank", F.row_number().over(win).cast("int"))
+            .filter(F.col("rank") <= k))
+    return (
+        docs.join(F.broadcast(topk), "doc_id", "inner")
+        .select("query_id", "rank", "doc_id", "url", "score")
     )

@@ -37,17 +37,36 @@ def empty_topk(spark: SparkSession) -> DataFrame:
 
 
 def query_term_idf(spark: SparkSession, dictionary: DataFrame, terms,
-                   n_docs: int) -> dict:
+                   n_docs: int, cache: dict | None = None) -> dict:
     """Driver-side df lookup for the query terms (a semi-join of a
     million-term dictionary against <10 terms: broadcast the terms, not
-    the dictionary).  Returns {term: (df, idf)} for terms present."""
-    tdf = spark.createDataFrame([(t,) for t in set(terms)], "term string")
-    rows = dictionary.join(F.broadcast(tdf), "term", "inner").select("term", "df").collect()
-    out = {}
-    for r in rows:
-        df = r["df"]
-        out[r["term"]] = (df, math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
-    return out
+    the dictionary).  Returns {term: (df, idf)} for terms present.
+
+    `cache` (optional, caller-owned, e.g. a long-lived query service /
+    REPL): terms already looked up — INCLUDING absent ones, stored as
+    None — skip the Spark job entirely; only genuinely new terms pay a
+    lookup.  The reference loads its whole dictionary into driver
+    memory at startup (searcher.py); this caches only the queried
+    working set, which is what fits when the dictionary has 10^9 terms.
+    A cache is only valid for one immutable index snapshot (idf depends
+    on n_docs) — discard it on catalog refresh."""
+    wanted = set(terms)
+    missing = wanted if cache is None else {t for t in wanted if t not in cache}
+    looked_up: dict = {}
+    if missing:
+        tdf = spark.createDataFrame([(t,) for t in missing], "term string")
+        rows = (dictionary.join(F.broadcast(tdf), "term", "inner")
+                .select("term", "df").collect())
+        for r in rows:
+            df = r["df"]
+            looked_up[r["term"]] = (
+                df, math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+        if cache is not None:
+            for t in missing:
+                cache[t] = looked_up.get(t)   # None = known-absent
+    if cache is None:
+        return looked_up
+    return {t: cache[t] for t in wanted if cache.get(t) is not None}
 
 
 def bm25_topk_exhaustive(
@@ -61,19 +80,22 @@ def bm25_topk_exhaustive(
     bm25: BM25Config = BM25Config(),
     weighted: bool = False,
     pre_parsed: tuple | None = None,
+    idf_cache: dict | None = None,
 ) -> DataFrame:
     """Returns TOPK (rank, doc_id, url, score).
 
     weighted=True multiplies each (term, doc) contribution by imp/10 —
     BM25 x tag-importance, the reference's zone-weighted ranking
     (searcher.py:123-143) on the engine's BM25 base.  pre_parsed=(terms,
-    is_bool) bypasses parse_query for unstemmed indexes."""
+    is_bool) bypasses parse_query for unstemmed indexes.  idf_cache: a
+    caller-owned dict for a long-lived query service — repeat terms skip
+    the dictionary-lookup job (see query_term_idf)."""
     spark = postings.sparkSession
     terms, is_bool = pre_parsed if pre_parsed is not None else parse_query(query)
     if not terms or n_docs == 0 or avgdl == 0:
         return empty_topk(spark)
 
-    tf_idf = query_term_idf(spark, dictionary, terms, n_docs)
+    tf_idf = query_term_idf(spark, dictionary, terms, n_docs, cache=idf_cache)
     counts = Counter(terms)
     present = [t for t in counts if t in tf_idf]
     if is_bool and len(present) < len(counts):

@@ -218,3 +218,81 @@ def test_pruned_scorer_matches_unpruned_on_fixture(built, index_df,
                             ascending=[False, True]).head(10)
     expected = oracle_search(oracle_index, query, k=10)
     assert list(allr["doc_id"]) == [d for _, d, _, _ in expected]
+
+
+def test_batch_matches_single_query_bit_identical(built, index_df):
+    """wand_topk_batch over the WHOLE fixture query set (OR, boolean,
+    duplicate-term, absent-term, empty queries in one workload) — each
+    query's rows must be bit-identical to its single wand_topk() run."""
+    from ir_index_construction_spark.operators.topk import wand_topk_batch
+
+    queries = {f"q{i:02d}": q for i, q in enumerate(QUERY_SET)}
+    got = wand_topk_batch(index_df, built.dictionary, built.docs, queries,
+                          built.n_docs, built.avgdl, k=10).collect()
+    by_qid: dict = {}
+    for r in got:
+        by_qid.setdefault(r["query_id"], []).append(r)
+    for qid, q in queries.items():
+        single = wand_topk(index_df, built.dictionary, built.docs, q,
+                           built.n_docs, built.avgdl, k=10).collect()
+        batch = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
+        assert [(r["rank"], r["doc_id"], r["url"], r["score"])
+                for r in batch] == [
+            (r["rank"], r["doc_id"], r["url"], r["score"])
+            for r in sorted(single, key=lambda r: r["rank"])], (qid, q)
+
+
+def test_batch_weighted_matches_single(built, index_df):
+    from ir_index_construction_spark.operators.topk import wand_topk_batch
+
+    queries = {"a": "machine learning", "b": "cristina lopes"}
+    got = wand_topk_batch(index_df, built.dictionary, built.docs, queries,
+                          built.n_docs, built.avgdl, k=10,
+                          weighted=True).collect()
+    for qid, q in queries.items():
+        single = wand_topk(index_df, built.dictionary, built.docs, q,
+                           built.n_docs, built.avgdl, k=10,
+                           weighted=True).collect()
+        batch = sorted([r for r in got if r["query_id"] == qid],
+                       key=lambda r: r["rank"])
+        assert [(r["doc_id"], r["score"]) for r in batch] == [
+            (r["doc_id"], r["score"])
+            for r in sorted(single, key=lambda r: r["rank"])], qid
+
+
+def test_batch_all_empty_workload(built, index_df, spark):
+    from ir_index_construction_spark.operators.topk import wand_topk_batch
+
+    out = wand_topk_batch(index_df, built.dictionary, built.docs,
+                          {"x": "zzzymissing", "y": ""},
+                          built.n_docs, built.avgdl, k=10)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "rank", "doc_id", "url", "score"]
+
+
+def test_idf_cache_skips_lookup_and_matches(built, index_df, spark):
+    """A long-lived query service's idf_cache: same results as uncached,
+    absent terms negatively cached, no dictionary job for repeat terms."""
+    from ir_index_construction_spark.plans.query import query_term_idf
+
+    terms = ["machine", "learning", "zzzymissing"]
+    plain = query_term_idf(spark, built.dictionary, terms, built.n_docs)
+    cache: dict = {}
+    first = query_term_idf(spark, built.dictionary, terms, built.n_docs,
+                           cache=cache)
+    assert first == plain
+    assert cache["zzzymissing"] is None          # negative-cached
+    # poison the dictionary reference: a second call must not touch it
+    second = query_term_idf(spark, None, terms, built.n_docs, cache=cache)
+    assert second == plain
+
+    q = "machine learning"
+    uncached = wand_topk(index_df, built.dictionary, built.docs, q,
+                         built.n_docs, built.avgdl, k=10).collect()
+    cached = wand_topk(index_df, built.dictionary, built.docs, q,
+                       built.n_docs, built.avgdl, k=10,
+                       idf_cache=cache).collect()
+    key = lambda rows: [(r["rank"], r["doc_id"], r["score"])
+                        for r in sorted(rows, key=lambda r: r["rank"])]
+    assert key(cached) == key(uncached)
