@@ -170,6 +170,20 @@ def main():
     extras["n_docs_indexed"] = built.n_docs
     extras["build_docs_per_sec"] = round(built.n_docs / timings["index_build"], 2)
 
+    # SPARK_GRAFT_SKIP_QUERIES: build-throughput-only rep (scaling
+    # evidence interleaves many reps; the query-latency phase would
+    # stretch each rep ~25% without informing the build ratio)
+    if os.environ.get("SPARK_GRAFT_SKIP_QUERIES"):
+        sf = 0.001 if "0.001" in sf_dir else (0.01 if "0.01" in sf_dir else 0.1)
+        extras["proc_tree_cpu_sec"] = round(proc_tree_cpu_sec(), 1)
+        print(json.dumps({
+            "metric": "index_build_and_query_seconds",
+            "value": round(sum(timings.values()), 4),
+            "unit": "sec", "queries": timings, "sf": sf, "cpus": cpus,
+            **extras,
+        }))
+        return
+
     # query latency: reference query set x3, p50/p95.  One UNTIMED
     # warmup pair first: the very first query pays one-time JVM codegen
     # compilation + Python-worker spawn (~2-3s measured, vs ~1.1s steady
