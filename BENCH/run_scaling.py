@@ -172,6 +172,7 @@ def main():
         runs_small, runs_big = saved["runs_small"], saved["runs_big"]
         hw, hw_eff = {int(k): v for k, v in saved["hw"].items()}, saved["hw_eff"]
         reps = len(runs_small)
+        n_docs, n_small, n_big = saved["n_docs"], saved["n_small"], saved["n_big"]
     else:
         hw = hw_probe()
         hw_eff = round(hw[n_small] / hw[n_big] / (n_big / n_small), 3)
