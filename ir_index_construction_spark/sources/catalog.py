@@ -30,6 +30,8 @@ is the production analogue.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 import shutil
@@ -38,6 +40,36 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
+
+
+class CommitConflict(RuntimeError):
+    """A catalog/table version file already exists — a concurrent writer
+    not holding the commit lock (or a crashed foreign writer) raced us.
+    The committing transaction is NOT applied; retry it against the new
+    catalog state."""
+
+
+class LegacyCatalogLayout(RuntimeError):
+    """The directory holds per-table ``<table>/_current`` pointers from
+    the pre-r2 layout but no catalog-level ``_current``.  Refusing to
+    silently treat committed data as an empty catalog."""
+
+
+def _write_json_excl(path: str, rec: dict) -> None:
+    """Create `path` with the full JSON atomically, failing if it already
+    exists (os.link is atomic and O_EXCL-like even over NFS): a version
+    file can never be half-written under its final name, and two writers
+    can never both claim the same version number."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise CommitConflict(f"version file {path} already exists — "
+                             "concurrent writer without the commit lock?")
+    finally:
+        os.unlink(tmp)
 
 
 class Transaction:
@@ -64,19 +96,36 @@ class Transaction:
         return self.append(spark.createDataFrame(rows, schema), table)
 
     def commit(self) -> dict:
+        """Publish all staged writes as ONE new catalog version.
+
+        Concurrency control (round-2 ADVICE): commits serialize on an
+        exclusive flock over ``<root>/_commit.lock``; the parent version
+        is (re-)read UNDER the lock, so a transaction started from an
+        older state rebases automatically — two concurrent writers (e.g.
+        a batch builder and a streaming updater on the same catalog)
+        produce versions N+1 and N+2, never a lost update.  Data files
+        were already staged lock-free (`_materialize`); only the tiny
+        manifest writes happen inside the critical section.  Version
+        files are additionally created create-exclusive, so a foreign
+        writer that bypasses the lock raises ``CommitConflict`` instead
+        of silently clobbering a manifest.  flock scopes to one host —
+        the production analogue is an Iceberg REST catalog's
+        compare-and-swap, which this layout maps onto directly.
+        """
         assert not self._done, "transaction already committed"
         cat = self.catalog
-        parent = cat._catalog_current()
-        tables = dict(parent["tables"]) if parent else {}
-        for table, mode, files, schema_json in self._pending:
-            snap_parent = cat._table_snapshot(table, tables.get(table))
-            base = (snap_parent["files"]
-                    if (mode == "append" and snap_parent) else [])
-            snap = cat._write_table_snapshot(
-                table, base + files, schema_json, snap_parent, mode)
-            tables[table] = snap["version"]
-        self._done = True
-        return cat._commit_catalog(tables, parent)
+        with cat._commit_lock():
+            parent = cat._catalog_current()
+            tables = dict(parent["tables"]) if parent else {}
+            for table, mode, files, schema_json in self._pending:
+                snap_parent = cat._table_snapshot(table, tables.get(table))
+                base = (snap_parent["files"]
+                        if (mode == "append" and snap_parent) else [])
+                snap = cat._write_table_snapshot(
+                    table, base + files, schema_json, snap_parent, mode)
+                tables[table] = snap["version"]
+            self._done = True
+            return cat._commit_catalog(tables, parent)
 
 
 class Catalog:
@@ -95,9 +144,36 @@ class Catalog:
         return os.path.join(self.root, "_current")
 
     # ---- catalog-level versioning ----
+    @contextlib.contextmanager
+    def _commit_lock(self):
+        """Exclusive host-wide commit lock (see Transaction.commit).
+        A fresh fd per acquisition: flock is fd-scoped, so concurrent
+        threads of one process serialize just like separate processes."""
+        fd = os.open(os.path.join(self.root, "_commit.lock"),
+                     os.O_CREAT | os.O_WRONLY, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
     def _catalog_current(self) -> dict | None:
         ptr = self._pointer()
         if not os.path.exists(ptr):
+            legacy = [
+                d for d in (os.listdir(self.root)
+                            if os.path.isdir(self.root) else [])
+                if os.path.isfile(os.path.join(self.root, d, "_current"))
+            ]
+            if legacy:
+                raise LegacyCatalogLayout(
+                    f"{self.root} holds per-table _current pointers "
+                    f"({sorted(legacy)}) but no catalog-level _current: "
+                    "this catalog was written by the pre-multi-table-"
+                    "transaction layout.  Rebuild it, or migrate each "
+                    "<table>/_current into a v0 catalog record — refusing "
+                    "to read committed data as an empty catalog.")
             return None
         with open(ptr) as f:
             v = f.read().strip()
@@ -114,10 +190,8 @@ class Catalog:
             "tables": tables,
             "committed_at": time.time(),
         }
-        tmp = os.path.join(self._cdir(), f".v{version}.tmp-{rec['catalog_id']}")
-        with open(tmp, "w") as f:
-            json.dump(rec, f)
-        os.replace(tmp, os.path.join(self._cdir(), f"v{version}.json"))
+        # create-exclusive: claims version number N or raises CommitConflict
+        _write_json_excl(os.path.join(self._cdir(), f"v{version}.json"), rec)
         # the ONE atomic swap — readers see the old or the new catalog
         # state in full, never a torn multi-table commit
         ptmp = self._pointer() + f".tmp-{rec['catalog_id']}"
@@ -149,10 +223,7 @@ class Catalog:
             "schema": schema_json,
             "committed_at": time.time(),
         }
-        tmp = os.path.join(sdir, f".v{version}.json.tmp-{snap['snapshot_id']}")
-        with open(tmp, "w") as f:
-            json.dump(snap, f)
-        os.replace(tmp, os.path.join(sdir, f"v{version}.json"))
+        _write_json_excl(os.path.join(sdir, f"v{version}.json"), snap)
         return snap
 
     def current_snapshot(self, table: str) -> dict | None:
@@ -224,9 +295,10 @@ class Catalog:
         return sorted(out, key=lambda s: s["version"])
 
     def drop(self, table: str) -> None:
-        cat = self._catalog_current()
-        if cat and table in cat["tables"]:
-            tables = dict(cat["tables"])
-            del tables[table]
-            self._commit_catalog(tables, cat)
+        with self._commit_lock():
+            cat = self._catalog_current()
+            if cat and table in cat["tables"]:
+                tables = dict(cat["tables"])
+                del tables[table]
+                self._commit_catalog(tables, cat)
         shutil.rmtree(self._tdir(table), ignore_errors=True)

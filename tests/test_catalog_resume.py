@@ -151,6 +151,74 @@ def test_crash_between_staging_and_commit_no_duplicates(
     assert _collect_index(got["index"]) == _collect_index(full_build["index"])
 
 
+def test_concurrent_commits_no_lost_update(spark, tmp_path):
+    """Round-2 ADVICE (medium): two concurrent writers must never both
+    base on the same parent and silently discard one commit.  Commits
+    serialize on the catalog flock and rebase under it, so every append
+    from both threads survives and versions are strictly sequential."""
+    import threading
+
+    from ir_index_construction_spark.sources.catalog import Catalog as Cat
+
+    cat = Cat(str(tmp_path / "cat_conc"))
+    cat.write(spark.range(1).withColumnRenamed("id", "x"), "t")
+    errs: list = []
+
+    def worker(tag: str):
+        try:
+            for i in range(4):
+                txn = cat.transaction()
+                txn.append(spark.range(2).withColumnRenamed("id", "x"), "t")
+                txn.append_rows(spark, f"log_{tag}", [(i,)], "i int")
+                txn.commit()
+        except Exception as e:          # surface in the main thread
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(tag,))
+               for tag in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert cat.read(spark, "t").count() == 1 + 2 * 4 * 2
+    assert cat.read(spark, "log_a").count() == 4
+    assert cat.read(spark, "log_b").count() == 4
+    # strictly sequential versions: 1 initial + 8 concurrent commits
+    assert cat._catalog_current()["version"] == 8
+
+
+def test_foreign_version_file_raises_commit_conflict(spark, tmp_path):
+    """A writer that bypasses the lock (pre-created version file) must
+    raise instead of clobbering the manifest."""
+    import os
+
+    from ir_index_construction_spark.sources.catalog import (
+        Catalog as Cat, CommitConflict)
+
+    cat = Cat(str(tmp_path / "cat_conflict"))
+    cat.write(spark.range(2).withColumnRenamed("id", "x"), "t")
+    with open(os.path.join(cat._cdir(), "v1.json"), "w") as f:
+        f.write("{}")
+    with pytest.raises(CommitConflict):
+        cat.append(spark.range(2).withColumnRenamed("id", "x"), "t")
+
+
+def test_legacy_layout_detected(tmp_path):
+    """A pre-r2 per-table-pointer catalog must raise, not read as empty
+    (round-2 ADVICE: a resumed build would silently restart from scratch
+    on top of committed data)."""
+    from ir_index_construction_spark.sources.catalog import (
+        Catalog as Cat, LegacyCatalogLayout)
+
+    root = tmp_path / "cat_legacy"
+    (root / "docs").mkdir(parents=True)
+    (root / "docs" / "_current").write_text("v3")
+    cat = Cat(str(root))
+    with pytest.raises(LegacyCatalogLayout):
+        cat.table_exists("docs")
+
+
 def test_resumed_equals_single_shot(spark, documents_df, full_build, tmp_path):
     cat = Catalog(str(tmp_path / "cat_eq"))
     b = IndexBuilder(cat, CFG, n_batches=3,
