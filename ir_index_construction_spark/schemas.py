@@ -124,6 +124,17 @@ METRICS = StructType([
     StructField("bytes_compressed", LongType(), False),
 ])
 
+# Streaming micro-batch ledger: one row per committed (stream, batch).
+# Written in the SAME transaction as the batch's postings/docs appends,
+# so "batch committed" and "batch data visible" are one atomic fact —
+# foreachBatch replays after a crash check it and no-op.
+STREAM_COMMITS = StructType([
+    StructField("stream_id", StringType(), False),
+    StructField("batch_id", LongType(), False),
+    StructField("n_docs", LongType(), False),
+    StructField("committed_at", TimestampType(), False),
+])
+
 TOPK = StructType([
     StructField("rank", IntegerType(), False),
     StructField("doc_id", LongType(), False),

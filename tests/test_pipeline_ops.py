@@ -255,3 +255,73 @@ def test_streaming_incremental(spark, tmp_path):
     n2 = docs.count()
     assert n2 > n1
     assert docs.groupBy("url").count().filter(F.col("count") > 1).count() == 0
+    # every committed micro-batch left a ledger row in the same transaction
+    ledger = cat.read(spark, "stream_commits")
+    assert ledger.count() >= 2
+    assert ledger.agg(F.sum("n_docs")).collect()[0][0] == n2
+
+
+def test_streaming_crash_before_commit_leaves_nothing(spark, tmp_path):
+    """The round-2 VERDICT torn-commit window: a crash between the
+    postings append and the docs append could leave postings with no
+    docs rows.  With the single-transaction commit, a crash at the
+    worst instant (data staged, commit not issued) leaves NO visible
+    state, and the rerun commits the batch exactly once."""
+    from ir_index_construction_spark.corpusgen import make_corpus
+    from ir_index_construction_spark.schemas import DOCUMENTS
+    from ir_index_construction_spark.sources.catalog import Catalog
+    from ir_index_construction_spark.streaming.incremental import (
+        process_stream_batch)
+
+    cat = Catalog(str(tmp_path / "cat_stream_torn"))
+    batch = spark.createDataFrame(make_corpus(30), DOCUMENTS)
+
+    def boom():
+        raise RuntimeError("injected crash before stream commit")
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        process_stream_batch(spark, cat, "s1", batch, 0, fault=boom)
+    # all-or-nothing: not postings-without-docs, NOTHING
+    for t in ("postings", "docs", "stream_commits"):
+        assert not cat.table_exists(t), f"{t} visible after torn commit"
+
+    process_stream_batch(spark, cat, "s1", batch, 0)
+    docs = cat.read(spark, "docs")
+    assert docs.count() > 0
+    dup = (cat.read(spark, "postings").groupBy("term", "doc_id").count()
+           .filter(F.col("count") > 1).count())
+    assert dup == 0
+    assert cat.read(spark, "stream_commits").count() == 1
+
+
+def test_streaming_replayed_batch_is_noop(spark, tmp_path):
+    """foreachBatch replays the last batch after a restart whose
+    checkpoint commit didn't land.  The stream_commits ledger row —
+    committed atomically WITH the batch — makes the replay return
+    before launching any job.  Proven with a replay carrying different
+    rows under the same batch_id: nothing from it may be ingested (a
+    committed batch_id is final), which the url anti-join alone could
+    not guarantee."""
+    from ir_index_construction_spark.corpusgen import make_corpus
+    from ir_index_construction_spark.schemas import DOCUMENTS
+    from ir_index_construction_spark.sources.catalog import Catalog
+    from ir_index_construction_spark.streaming.incremental import (
+        process_stream_batch)
+
+    cat = Catalog(str(tmp_path / "cat_stream_replay"))
+    rows = make_corpus(60)
+    process_stream_batch(spark, cat, "s1",
+                         spark.createDataFrame(rows[:30], DOCUMENTS), 0)
+    n1 = cat.read(spark, "docs").count()
+    v1 = cat._catalog_current()["version"]
+    # replay of batch 0 — even with unseen urls, must be ignored
+    process_stream_batch(spark, cat, "s1",
+                         spark.createDataFrame(rows[30:], DOCUMENTS), 0)
+    assert cat.read(spark, "docs").count() == n1
+    assert cat._catalog_current()["version"] == v1
+    # a NEW batch_id with the same rows does ingest (the ledger is
+    # per-batch, not per-content)
+    process_stream_batch(spark, cat, "s1",
+                         spark.createDataFrame(rows[30:], DOCUMENTS), 1)
+    assert cat.read(spark, "docs").count() > n1
+    assert cat.read(spark, "stream_commits").count() == 2
