@@ -117,10 +117,20 @@ def main():
     timings: dict = {}
     extras: dict = {}
 
-    def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 4)
+    # best-of-N on every one-shot op (not just the build): this host is
+    # a shared VM with bursty co-tenant load (r2: an idle-host rerun of
+    # the identical binary moved every op ~50%); min over reps is the
+    # least-interfered measurement of the engine itself
+    op_reps = int(os.environ.get("SPARK_GRAFT_OP_REPS", "2"))
+
+    def timed(name, fn, reps=1):
+        best, out = None, None
+        for _ in range(max(1, reps)):
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
         return out
 
     n_docs = corpus_size(sf_dir)
@@ -156,7 +166,7 @@ def main():
     # best-of-N builds: the sandbox host is a shared VM with measured
     # ~8% steal and bursty co-tenant load (see BENCH/BASELINE.md); the
     # minimum over reps is the least-interfered measurement
-    reps = int(os.environ.get("SPARK_GRAFT_BUILD_REPS", "1"))
+    reps = int(os.environ.get("SPARK_GRAFT_BUILD_REPS", "3"))
     built, index = timed("index_build", build)
     best = timings["index_build"]
     for _ in range(reps - 1):
@@ -241,6 +251,32 @@ def main():
             lat_batch.append(time.time() - t0)
         timings["wand_batch4"] = round(min(lat_batch), 4)
 
+        # 100-query workload: the README's "score a mined query set"
+        # shape at real size — ONE index scan + one shard-scoring job
+        # for 100 queries.  Queries are seeded samples of 2-3 dictionary
+        # terms passed pre-parsed (dictionary terms are already stemmed)
+        import random as _random
+
+        head_terms = [r["term"] for r in
+                      built.dictionary.orderBy(F.col("df").desc())
+                      .limit(300).select("term").collect()]
+        rng = _random.Random(7)
+        pre100 = {
+            f"w{i:03d}": (rng.sample(head_terms, rng.choice([2, 3])), False)
+            for i in range(100)
+        }
+        q100 = {qid: " ".join(t) for qid, (t, _) in pre100.items()}
+
+        def run100():
+            return wand_topk_batch(
+                index, built.dictionary, built.docs, q100,
+                built.n_docs, built.avgdl, k=10, pre_parsed=pre100,
+            ).collect()
+
+        timed("wand_batch100", run100, reps=2)
+        extras["wand_batch100_ms_per_query"] = round(
+            timings["wand_batch100"] * 1000.0 / 100, 2)
+
     # training-data operators on the driver-provided tables (skippable
     # for scaling-evidence runs, which only compare the build)
     if os.environ.get("SPARK_GRAFT_SKIP_EXTRAS"):
@@ -263,18 +299,22 @@ def main():
     from ir_index_construction_spark.operators.textstats import (
         language_id, quality_score)
 
-    timed("dedup_exact", lambda: exact_duplicates(docs_tbl, "doc_id", "text").count())
+    timed("dedup_exact", lambda: exact_duplicates(docs_tbl, "doc_id", "text").count(),
+          reps=op_reps)
     timed("dedup_minhash_lsh", lambda: minhash_lsh_pairs(
-        docs_tbl, "doc_id", "text", threshold=0.5).count())
-    timed("dedup_simhash", lambda: simhash_64(docs_tbl, "doc_id", "text").count())
+        docs_tbl, "doc_id", "text", threshold=0.5).count(), reps=op_reps)
+    timed("dedup_simhash", lambda: simhash_64(docs_tbl, "doc_id", "text").count(),
+          reps=op_reps)
     qvec = [float(x) for x in
             emb_tbl.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     timed("knn_bruteforce", lambda: cosine_topk_bruteforce(
-        emb_tbl, "vec_id", "embedding", qvec, k=10).collect())
+        emb_tbl, "vec_id", "embedding", qvec, k=10).collect(), reps=op_reps)
     timed("knn_lsh", lambda: lsh_bucketed_topk(
-        emb_tbl, "vec_id", "embedding", qvec, k=10).collect())
-    timed("langid", lambda: language_id(docs_tbl, "doc_id", "text").count())
-    timed("quality", lambda: quality_score(docs_tbl, "doc_id", "text").count())
+        emb_tbl, "vec_id", "embedding", qvec, k=10).collect(), reps=op_reps)
+    timed("langid", lambda: language_id(docs_tbl, "doc_id", "text").count(),
+          reps=op_reps)
+    timed("quality", lambda: quality_score(docs_tbl, "doc_id", "text").count(),
+          reps=op_reps)
 
     sf = 0.001 if "0.001" in sf_dir else (0.01 if "0.01" in sf_dir else 0.1)
     extras["proc_tree_cpu_sec"] = round(proc_tree_cpu_sec(), 1)

@@ -75,13 +75,34 @@ def minhash_lane_sql(expr: str, num_hashes: int) -> list:
             for a, b in affine_params(num_hashes)]
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """The shingle/token explode is the CPU-heavy map side; a small
+    parquet input (one row-group file) arrives as ONE split and would
+    run the whole explode+hash pass on a single core.  Repartition up to
+    the session's parallelism only when the scan offers fewer splits —
+    at production scale input files outnumber cores, the condition is
+    false, and no shuffle is added.
+
+    Capped at 16: measured at sf0.1 (5k docs, local[32]) the explode
+    stage is ~2s of CPU total, so per-task fixed overhead dominates past
+    ~16 tasks (32-way spread was slower than 16); genuinely large inputs
+    never take this branch, so the cap never limits a real cluster."""
+    sc = df.sparkSession.sparkContext
+    target = min(sc.defaultParallelism, 16)
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:                    # streaming/relation w/o rdd view
+        return df
+    return df.repartition(target) if nparts < target else df
+
+
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int,
               distinct: bool = True) -> DataFrame:
     """Word n-gram shingles per doc — native: split + explode + windowed
     concat via expr (no Python).  distinct=False skips the dedup shuffle
     for consumers where duplicates are harmless (MinHash: min over a
     multiset == min over its set)."""
-    toks = df.select(
+    toks = _ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
         F.split(F.lower(F.col(text_col)), r"\s+").alias("_t"),
     )
@@ -186,17 +207,21 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     estimate: (id_a, id_b, est_jaccard >= threshold).
 
     Candidate generation is an equi-join on the banded bucket hash —
-    cost is bound by bucket collisions, not |docs|^2.  est_jaccard is
-    the MinHash estimate (fraction of agreeing components), computed and
-    thresholded BEFORE the pair dedup so failing candidates never enter
-    the dedup shuffle, and only (id_a, id_b, est) rows — not the 16-lane
-    signatures — cross it.  The two self-join inputs are the identical
-    aggregate subplan, so Spark's ReuseExchange computes signatures once.
+    cost is bound by bucket collisions, not |docs|^2.  The 16-lane
+    signature array stays OUT of the banded shuffle (round-2 VERDICT
+    item 2): only (id, band, bucket) rows — 24 bytes, not 24 + 16*8 —
+    cross the self-join, candidate pairs dedup while still just
+    (id_a, id_b), and the signatures re-attach to the surviving pairs
+    via two id-keyed joins against the signature table (whose aggregate
+    exchange Spark reuses across all three consumers).  est_jaccard is
+    the MinHash estimate (fraction of agreeing components); at 10^12
+    docs the signature re-attach is two shuffles of n rows vs shuffling
+    sig arrays bands x collision-fanout times.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, base)
     banded = sig.select(
-        "id", "sig",
+        "id",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
@@ -205,22 +230,28 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             )
             for b in range(bands)
         ])).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"),
+    ).select("id", F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     agree = sum(
         F.when(F.col("sig_a")[h] == F.col("sig_b")[h], 1).otherwise(0)
         for h in range(num_hashes)
     )
     return (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "bucket"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        cand
+        .join(sig.select(F.col("id").alias("id_a"),
+                         F.col("sig").alias("sig_a")), "id_a")
+        .join(sig.select(F.col("id").alias("id_b"),
+                         F.col("sig").alias("sig_b")), "id_b")
         .withColumn("est_jaccard", agree / F.lit(float(num_hashes)))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -230,7 +261,7 @@ def simhash_64(df: DataFrame, id_col: str, text_col: str,
     n_bits native bit-test sums in one aggregation (no Python; max 60
     bits — _hash64 yields 15 hex chars).  Tokens weighted by tf (each
     occurrence votes)."""
-    toks = df.select(
+    toks = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")

@@ -242,6 +242,38 @@ def test_batch_matches_single_query_bit_identical(built, index_df):
             for r in sorted(single, key=lambda r: r["rank"])], (qid, q)
 
 
+def test_batch_20_query_workload_matches_single(built, index_df):
+    """A generated 20-query workload (seeded 2-3-term samples of the
+    fixture dictionary, passed pre-parsed — the bench's wand_batch100
+    shape at test scale): every query's batch rows must equal its
+    single wand_topk() run."""
+    import random
+
+    from ir_index_construction_spark.operators.topk import wand_topk_batch
+
+    terms = [r["term"] for r in
+             built.dictionary.orderBy(F.col("df").desc()).limit(60)
+             .select("term").collect()]
+    rng = random.Random(11)
+    pre = {f"w{i:02d}": (rng.sample(terms, rng.choice([2, 3])), False)
+           for i in range(20)}
+    got = wand_topk_batch(index_df, built.dictionary, built.docs,
+                          {k: " ".join(t) for k, (t, _) in pre.items()},
+                          built.n_docs, built.avgdl, k=10,
+                          pre_parsed=pre).collect()
+    by_qid: dict = {}
+    for r in got:
+        by_qid.setdefault(r["query_id"], []).append(r)
+    for qid, (t, b) in pre.items():
+        single = wand_topk(index_df, built.dictionary, built.docs,
+                           " ".join(t), built.n_docs, built.avgdl, k=10,
+                           pre_parsed=(t, b)).collect()
+        batch = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
+        assert [(r["rank"], r["doc_id"], r["score"]) for r in batch] == [
+            (r["rank"], r["doc_id"], r["score"])
+            for r in sorted(single, key=lambda r: r["rank"])], (qid, t)
+
+
 def test_batch_weighted_matches_single(built, index_df):
     from ir_index_construction_spark.operators.topk import wand_topk_batch
 
