@@ -848,7 +848,10 @@ _CORPUS_CACHE: dict = {}
 
 
 def _built_corpus(spark, n_docs: int = 240):
-    key = (id(spark), n_docs)
+    # applicationId, not id(spark): a stopped session's id() can be
+    # reused by a new one, which would silently serve persisted frames
+    # bound to a dead context (round-2 ADVICE)
+    key = (spark.sparkContext.applicationId, n_docs)
     if key not in _CORPUS_CACHE:
         from .config import small_scale
         from .corpusgen import make_corpus
@@ -922,7 +925,7 @@ def _unstemmed_index(spark, sf_dir):
     ANSI-SQL-expressible, so the driver's DuckDB gate can hash-check it
     (VERDICT r1 item 2: previously the hard oracle never touched the
     compressed index)."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _UNSTEMMED_CACHE:
         from .config import IndexConfig
         from .operators.compress import build_compressed_index

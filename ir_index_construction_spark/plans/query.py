@@ -36,6 +36,26 @@ def empty_topk(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], TOPK)
 
 
+class TermStatsCache:
+    """Term df/idf cache for a long-lived query service, BOUND to one
+    immutable index snapshot: ``for_snapshot(snapshot_id)`` returns the
+    per-term dict to pass as ``idf_cache=``; when the catalog advances
+    (rebuild, incremental append -> new snapshot id) the cache empties
+    itself, so the service can never serve stale idf against a newer
+    index.  ``snapshot_id`` is whatever identifies the catalog state —
+    the catalog record's ``catalog_id`` is the natural key."""
+
+    def __init__(self):
+        self._snapshot = None
+        self._terms: dict = {}
+
+    def for_snapshot(self, snapshot_id) -> dict:
+        if snapshot_id != self._snapshot:
+            self._snapshot = snapshot_id
+            self._terms = {}
+        return self._terms
+
+
 def query_term_idf(spark: SparkSession, dictionary: DataFrame, terms,
                    n_docs: int, cache: dict | None = None) -> dict:
     """Driver-side df lookup for the query terms (a semi-join of a

@@ -328,3 +328,71 @@ def test_idf_cache_skips_lookup_and_matches(built, index_df, spark):
     key = lambda rows: [(r["rank"], r["doc_id"], r["score"])
                         for r in sorted(rows, key=lambda r: r["rank"])]
     assert key(cached) == key(uncached)
+
+
+def test_term_stats_cache_bound_to_snapshot(spark):
+    """A catalog rebuild must invalidate the term-stats cache (round-2
+    VERDICT item 4): same snapshot id -> served from cache (dictionary
+    not touched), new snapshot id -> fresh df looked up."""
+    from ir_index_construction_spark.plans.query import (
+        TermStatsCache, query_term_idf)
+
+    dict1 = spark.createDataFrame([("foo", 3)], "term string, df long")
+    dict2 = spark.createDataFrame([("foo", 5)], "term string, df long")
+    tsc = TermStatsCache()
+    r1 = query_term_idf(spark, dict1, ["foo"], 10,
+                        cache=tsc.for_snapshot("snap-1"))
+    assert r1["foo"][0] == 3
+    # same snapshot: cached (poisoned dictionary must not be touched)
+    r2 = query_term_idf(spark, None, ["foo"], 10,
+                        cache=tsc.for_snapshot("snap-1"))
+    assert r2["foo"][0] == 3
+    # catalog advanced: cache emptied, fresh df served
+    r3 = query_term_idf(spark, dict2, ["foo"], 10,
+                        cache=tsc.for_snapshot("snap-2"))
+    assert r3["foo"][0] == 5
+
+
+def test_query_service_reloads_on_catalog_advance(spark, tmp_path):
+    """The submit_query service must pick up a catalog commit made
+    behind it: frames and idf both refresh when the pointer advances."""
+    import importlib.util
+    from pathlib import Path
+
+    from ir_index_construction_spark.sources.catalog import Catalog
+
+    spec = importlib.util.spec_from_file_location(
+        "submit_query_mod",
+        Path(__file__).resolve().parent.parent / "tools" / "submit_query.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    cat = Catalog(str(tmp_path / "cat_svc"))
+    txn = cat.transaction()
+    txn.write(spark.createDataFrame(
+        [("foo", 1, 2, 10, 4)],
+        "term string, doc_id long, tf int, imp int, dl int"), "postings")
+    txn.write(spark.createDataFrame(
+        [(1, "u1", 4)], "doc_id long, url string, doc_len int"), "docs")
+    txn.write(spark.createDataFrame(
+        [("foo", 1, 2)], "term string, df long, cf long"), "dictionary")
+    txn.write(spark.createDataFrame(
+        [(1, 4.0, 1)], "n_docs long, avgdl double, n_terms long"), "stats")
+    txn.commit()
+
+    svc = m.QueryService(spark, cat)
+    r1 = svc.run("foo", 10, "exhaustive", False).collect()
+    assert len(r1) == 1
+    s1 = r1[0]["score"]
+    # second run: same snapshot, idf served from the bound cache
+    assert svc.run("foo", 10, "exhaustive", False).collect()[0]["score"] == s1
+
+    # commit behind the service: a foo-less doc doubles n_docs -> idf up
+    txn = cat.transaction()
+    txn.append(spark.createDataFrame(
+        [(2, "u2", 4)], "doc_id long, url string, doc_len int"), "docs")
+    txn.write(spark.createDataFrame(
+        [(2, 4.0, 1)], "n_docs long, avgdl double, n_terms long"), "stats")
+    txn.commit()
+    r2 = svc.run("foo", 10, "exhaustive", False).collect()
+    assert r2[0]["score"] > s1, "stale idf served after catalog advance"

@@ -30,22 +30,55 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def run_query(spark, cat, query: str, k: int, mode: str, weighted: bool,
-              idf_cache: dict | None = None):
-    from ir_index_construction_spark.operators.topk import wand_topk
-    from ir_index_construction_spark.plans.query import bm25_topk_exhaustive
+class QueryService:
+    """Steady-state query service: loads stats/docs/dictionary/index
+    frames ONCE per catalog snapshot (round-2 ADVICE: the REPL used to
+    re-read tables and collect() stats every iteration), and binds the
+    term-stats cache to the snapshot id so a rebuild behind the running
+    service invalidates cached idf instead of serving stale values.
+    Snapshot staleness is detected by one cheap pointer read per query;
+    frames reload only when the catalog actually advanced."""
 
-    stats = cat.read(spark, "stats").collect()[0]
-    docs = cat.read(spark, "docs")
-    dictionary = cat.read(spark, "dictionary")
-    if mode == "wand":
-        return wand_topk(cat.read(spark, "index"), dictionary, docs,
-                         query, stats["n_docs"], float(stats["avgdl"]),
-                         k=k, weighted=weighted, idf_cache=idf_cache)
-    return bm25_topk_exhaustive(cat.read(spark, "postings"), dictionary,
-                                docs, query, stats["n_docs"],
-                                float(stats["avgdl"]), k=k,
-                                weighted=weighted, idf_cache=idf_cache)
+    def __init__(self, spark, cat):
+        from ir_index_construction_spark.plans.query import TermStatsCache
+
+        self.spark = spark
+        self.cat = cat
+        self._catalog_id = object()      # != any real id -> first refresh
+        self._tsc = TermStatsCache()
+        self._f: dict = {}
+
+    def _refresh(self):
+        cur = self.cat._catalog_current()
+        cid = cur["catalog_id"] if cur else None
+        if cid != self._catalog_id:
+            self._catalog_id = cid
+            stats = self.cat.read(self.spark, "stats").collect()[0]
+            self._f = {
+                "n_docs": stats["n_docs"],
+                "avgdl": float(stats["avgdl"]),
+                "docs": self.cat.read(self.spark, "docs"),
+                "dictionary": self.cat.read(self.spark, "dictionary"),
+            }
+            for t in ("index", "postings"):
+                if self.cat.table_exists(t):
+                    self._f[t] = self.cat.read(self.spark, t)
+        return self._f, self._tsc.for_snapshot(cid)
+
+    def run(self, query: str, k: int, mode: str, weighted: bool):
+        from ir_index_construction_spark.operators.topk import wand_topk
+        from ir_index_construction_spark.plans.query import (
+            bm25_topk_exhaustive)
+
+        f, idf_cache = self._refresh()
+        if mode == "wand":
+            return wand_topk(f["index"], f["dictionary"], f["docs"],
+                             query, f["n_docs"], f["avgdl"], k=k,
+                             weighted=weighted, idf_cache=idf_cache)
+        return bm25_topk_exhaustive(f["postings"], f["dictionary"],
+                                    f["docs"], query, f["n_docs"],
+                                    f["avgdl"], k=k, weighted=weighted,
+                                    idf_cache=idf_cache)
 
 
 def print_results(rows):
@@ -101,16 +134,16 @@ def main():
               f"{elapsed * 1000.0 / max(1, len(queries)):.1f} ms/query]")
         return
 
+    service = QueryService(spark, cat)
+
     if args.query is not None:
-        out = run_query(spark, cat, args.query, args.k, args.mode,
-                        args.weighted)
+        out = service.run(args.query, args.k, args.mode, args.weighted)
         print_results(out.orderBy("rank").collect())
         return
 
     # REPL (searcher.py:202-219): empty line exits, elapsed ms printed.
-    # idf_cache: terms seen once never pay the dictionary-lookup job
-    # again (valid for the lifetime of this catalog snapshot).
-    idf_cache: dict = {}
+    # The service holds the frames and the snapshot-bound idf cache:
+    # a steady-state query is ONE Spark job (score + rank).
     while True:
         try:
             query = input("query> ").strip()
@@ -119,8 +152,8 @@ def main():
         if not query:
             break
         t0 = time.time()
-        rows = run_query(spark, cat, query, args.k, args.mode,
-                         args.weighted, idf_cache).orderBy("rank").collect()
+        rows = service.run(query, args.k, args.mode,
+                           args.weighted).orderBy("rank").collect()
         elapsed_ms = (time.time() - t0) * 1000.0
         print_results(rows)
         print(f"[{elapsed_ms:.1f} ms]")
