@@ -11,6 +11,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from ..operators.corpus import dedup_assign_ids, defrag_and_filter
 from ..operators.postings import (
@@ -77,10 +78,18 @@ def build_tables(documents: DataFrame, persist: bool = True) -> BuiltTables:
     # id pass actually saw a duplicate key (measured for free on its own
     # shuffle): the common path keeps the zero-extra-shuffle attach, the
     # pathological path pays one dedup exchange that the join then reuses
-    # (same keys).  Terms are a deterministic function of html, so for
-    # true re-fetches any survivor is identical.
+    # (same keys).  The survivor is DETERMINISTIC (round-2 ADVICE): rows
+    # sharing (url, warc_ts) but carrying different html — dirty crawl
+    # data, not a true re-fetch — are ordered by a content hash of their
+    # tokenized output, so the same input yields the same postings under
+    # any partitioning.  (True re-fetches have identical terms, so any
+    # survivor is identical anyway; a 2^-64 hash collision between
+    # DIFFERENT contents is the accepted residual.)
     if key_stats["n_rows"] > key_stats["n_distinct_keys"]:
-        tok_raw = tok_raw.dropDuplicates(["url", "warc_ts"])
+        w = Window.partitionBy("url", "warc_ts").orderBy(
+            F.xxhash64("dl", "terms").asc())
+        tok_raw = (tok_raw.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") == 1).drop("_rn"))
     with_ids = tok_raw.join(key_ids, ["url", "warc_ts"], "inner")
     if persist:
         with_ids = with_ids.persist()

@@ -88,6 +88,35 @@ def test_exact_refetch_not_double_counted(spark, corpus_rows):
         got.unpersist()
 
 
+def test_dirty_duplicate_key_survivor_deterministic(spark, corpus_rows):
+    """Two input rows sharing (url, warc_ts) but with DIFFERENT html
+    (dirty crawl data) must produce the same surviving postings on every
+    run and under any input partitioning (round-2 ADVICE: dropDuplicates
+    kept an arbitrary survivor, breaking build determinism)."""
+    from ir_index_construction_spark.plans.build import build_tables
+    from ir_index_construction_spark.schemas import DOCUMENTS
+
+    rows = [dict(r) for r in corpus_rows[:30]]
+    dirty = dict(rows[5])
+    dirty["html"] = rows[17]["html"]          # same key, different content
+    dirty["text"] = rows[17]["text"]
+    doubled = rows + [dirty]
+
+    def posting_set(n_parts):
+        df = spark.createDataFrame(doubled, DOCUMENTS).repartition(n_parts)
+        built = build_tables(df, persist=False)
+        try:
+            return sorted(
+                (r["term"], r["doc_id"], r["tf"], r["dl"])
+                for r in built.postings.collect())
+        finally:
+            built.unpersist()
+
+    first = posting_set(2)
+    assert first == posting_set(7)
+    assert first == posting_set(13)
+
+
 @pytest.mark.parametrize("query", QUERY_SET)
 def test_rank_identity_exhaustive(built, oracle_index, query):
     from ir_index_construction_spark.plans.query import bm25_topk_exhaustive
