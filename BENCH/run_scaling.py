@@ -292,7 +292,10 @@ numbers above show even ~0.5 co-tenant cores halve a {n_big}-wide run —
 bursty interference stalls whole barrier stages — which is why the best
 rep, not a mean over polluted reps, is the engine's number.
 
-Full bench lines:
+Full bench lines (NB the `"sf"` field below is bench.py's default label
+only — these runs index the {n_docs}-doc scaling corpus via the
+`SPARK_GRAFT_BENCH_DOCS` override, not the sf tables; the corpus size
+is the `n_docs_indexed` field):
 
 ```json
 {json.dumps(r_small)}
