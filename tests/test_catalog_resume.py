@@ -151,6 +151,31 @@ def test_crash_between_staging_and_commit_no_duplicates(
     assert _collect_index(got["index"]) == _collect_index(full_build["index"])
 
 
+def test_build_report_renders_ledger(spark, documents_df, tmp_path, capsys):
+    """tools/build_report.py must render every committed stage with
+    non-zero throughput/bytes from the lineage/metrics ledgers."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "build_report_mod",
+        Path(__file__).resolve().parent.parent / "tools" / "build_report.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    cat = Catalog(str(tmp_path / "cat_report"))
+    IndexBuilder(cat, CFG, n_batches=2).build(documents_df)
+    m.report(spark, cat, None, show_partitions=True)
+    out = capsys.readouterr().out
+    for stage in ("prepare", "tokenize", "stats", "encode"):
+        assert stage in out, out
+    assert "indexed" in out and "postings" in out
+    # per-partition breakdown present, with lineage arrows
+    assert out.count("p0 ") >= 2 and "<-" in out
+    # encode committed real compressed bytes
+    assert "0 B" not in out.split("encode")[1].splitlines()[0]
+
+
 def test_concurrent_commits_no_lost_update(spark, tmp_path):
     """Round-2 ADVICE (medium): two concurrent writers must never both
     base on the same parent and silently discard one commit.  Commits
