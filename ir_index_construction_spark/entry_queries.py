@@ -1139,6 +1139,145 @@ def q_extract_invariant(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# event / relational analytics (engine extension over the driver's
+# events + TPC-H-ish tables — the reference has no such surface;
+# these close the "testdata relational tables unread" gap)
+# ---------------------------------------------------------------------------
+
+def q_events_window(spark, sf_dir):
+    """Tumbling 1-hour rollup per event type (O-windowed-agg shape a
+    log pipeline runs; same logical plan Structured Streaming executes
+    incrementally in streaming/windows.py)."""
+    from .operators.events import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # timestamps cross the compare as formatted strings: pandas gives
+    # Spark and DuckDB results different datetime64 units otherwise
+    return windowed_event_counts(ev).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"), "sum_value")
+
+
+SQL_EVENTS_WINDOW = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): per-session event
+    count, start, duration.  lag + running-sum over a user-partitioned
+    window — the canonical activity-log operator."""
+    from .operators.events import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev).select(
+        "user_id", "session_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("session_start"),
+        F.col("duration_sec").cast("long").alias("duration_sec"))
+
+
+SQL_SESSIONIZE = """
+WITH o AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                THEN 1 ELSE 0 END AS boundary
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT user_id, ts,
+           sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+    FROM o
+)
+SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       date_diff('second', min(ts), max(ts))::BIGINT AS duration_sec
+FROM s GROUP BY user_id, session_id
+"""
+
+
+PRICING_CUTOFF = "1998-09-02"
+
+
+def q_lineitem_pricing(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary: predicate pushdown on the ship
+    date, one partial+final hash aggregation over 6 measures."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(PRICING_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+             F.round(F.sum(F.col("l_extendedprice")
+                           * (F.lit(1.0) - F.col("l_discount"))), 6)
+             .alias("sum_disc_price"),
+             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+             F.count("*").alias("count_order"))
+        .withColumn("count_order", F.col("count_order").cast("long"))
+    )
+
+
+SQL_LINEITEM_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    """Revenue top-10 customers: orders aggregate, broadcast join to
+    the (small) customer dim, TakeOrderedAndProject — the dim-join +
+    top-k pattern at its intended physical shape."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = (orders.groupBy("o_custkey")
+           .agg(F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+                F.count("*").alias("n_orders")))
+    top = (rev.join(F.broadcast(cust),
+                    rev["o_custkey"] == cust["c_custkey"], "inner")
+           .select(F.col("c_custkey").alias("custkey"), "c_mktsegment",
+                   "revenue", F.col("n_orders").cast("long").alias("n_orders"))
+           .orderBy(F.col("revenue").desc(), F.col("custkey").asc())
+           .limit(10))
+    w = Window.orderBy(F.col("revenue").desc(), F.col("custkey").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+SQL_TOP_CUSTOMERS = """
+WITH rev AS (
+    SELECT o_custkey, round(sum(o_totalprice), 6) AS revenue,
+           count(*)::BIGINT AS n_orders
+    FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey AS custkey, c.c_mktsegment, r.revenue, r.n_orders,
+       row_number() OVER (ORDER BY r.revenue DESC, c.c_custkey ASC)::BIGINT
+           AS rank
+FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+ORDER BY rank LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1174,6 +1313,10 @@ def queries() -> dict:
         "q28_wand_boolean": q_wand_boolean,
         "q29_wand_batch": q_wand_batch,
         "q30_knn_lsh": q_knn_lsh,
+        "q31_events_window": q_events_window,
+        "q32_sessionize": q_sessionize,
+        "q33_lineitem_pricing": q_lineitem_pricing,
+        "q34_top_customers": q_top_customers,
     }
 
 
@@ -1210,4 +1353,8 @@ def oracle_sql() -> dict:
         "q28_wand_boolean": SQL_WAND_BOOLEAN,
         "q29_wand_batch": SQL_WAND_BATCH,
         "q30_knn_lsh": _sql_knn_lsh(),
+        "q31_events_window": SQL_EVENTS_WINDOW,
+        "q32_sessionize": SQL_SESSIONIZE,
+        "q33_lineitem_pricing": SQL_LINEITEM_PRICING,
+        "q34_top_customers": SQL_TOP_CUSTOMERS,
     }

@@ -15,6 +15,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -122,6 +123,17 @@ METRICS = StructType([
     StructField("docs_per_sec", DoubleType(), False),
     StructField("postings_per_sec", DoubleType(), False),
     StructField("bytes_compressed", LongType(), False),
+])
+
+# Driver-testdata events table (activity-log shape; TIMESTAMP_NTZ
+# matches the parquet files' physical type).
+EVENTS = StructType([
+    StructField("event_id", LongType(), True),
+    StructField("ts", TimestampNTZType(), True),
+    StructField("user_id", LongType(), True),
+    StructField("event_type", StringType(), True),
+    StructField("value", DoubleType(), True),
+    StructField("props", StringType(), True),
 ])
 
 # Streaming micro-batch ledger: one row per committed (stream, batch).

@@ -4,7 +4,11 @@ The reference pipeline is strictly batch (SURVEY.md §2.1 — no streams,
 watermarks or state anywhere in /root/reference), so streaming is an
 ENGINE EXTENSION, not a parity feature: `incremental` maintains the
 postings/docs tables from a stream of newly crawled pages via
-foreachBatch micro-batches into the snapshot catalog.
+atomically-committed foreachBatch micro-batches into the snapshot
+catalog; `windows` runs the watermarked tumbling-window event rollup
+(append mode — each window emitted exactly once when the watermark
+passes its end).
 """
 
 from .incremental import incremental_index_update  # noqa: F401
+from .windows import streaming_windowed_counts  # noqa: F401
