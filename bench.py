@@ -295,7 +295,7 @@ def main():
     from ir_index_construction_spark.operators.dedup import (
         exact_duplicates, minhash_lsh_pairs, simhash_64)
     from ir_index_construction_spark.operators.similarity import (
-        cosine_topk_bruteforce, lsh_bucketed_topk)
+        cosine_topk_bruteforce, ivf_topk, lsh_bucketed_topk)
     from ir_index_construction_spark.operators.textstats import (
         language_id, quality_score)
 
@@ -310,6 +310,8 @@ def main():
     timed("knn_bruteforce", lambda: cosine_topk_bruteforce(
         emb_tbl, "vec_id", "embedding", qvec, k=10).collect(), reps=op_reps)
     timed("knn_lsh", lambda: lsh_bucketed_topk(
+        emb_tbl, "vec_id", "embedding", qvec, k=10).collect(), reps=op_reps)
+    timed("knn_ivf", lambda: ivf_topk(
         emb_tbl, "vec_id", "embedding", qvec, k=10).collect(), reps=op_reps)
     timed("langid", lambda: language_id(docs_tbl, "doc_id", "text").count(),
           reps=op_reps)

@@ -656,6 +656,73 @@ FROM s ORDER BY rank LIMIT 10
 """
 
 
+IVF_K, IVF_PROBE, IVF_SEED = 8, 2, 7
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k under a hard oracle: DuckDB recomputes every
+    vector's inverted-list assignment from the same seeded anchor
+    literals (first-index-wins argmax, left-associated sums), ranks the
+    query's anchors the same way, restricts to the same n_probe lists,
+    and ranks exact cosine over the identical candidate set — the IVF
+    probe machinery itself is hash-checked (q30's pattern for the
+    hamming-probe LSH path, applied to dot-product probing)."""
+    from .operators.similarity import ivf_topk
+
+    emb = _embs(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    top = ivf_topk(emb.filter(F.col("vec_id") != 0), "vec_id", "embedding",
+                   [float(x) for x in qvec], k=10, n_centroids=IVF_K,
+                   n_probe=IVF_PROBE, seed=IVF_SEED)
+    w = Window.orderBy(F.col("cosine").desc(), F.col("id").asc())
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.col("id"), F.round("cosine", 6).alias("cosine"))
+
+
+def _sql_ivf_topk(k: int = IVF_K, n_probe: int = IVF_PROBE, dim: int = 64,
+                  seed: int = IVF_SEED) -> str:
+    from .operators.similarity import random_anchors
+
+    C = random_anchors(dim, k, seed)
+
+    def dot(c):
+        return " + ".join(f"({float(w)!r} * v[{i + 1}])"
+                          for i, w in enumerate(c))
+
+    dots = ",\n       ".join(f"({dot(c)}) AS d{j}" for j, c in enumerate(C))
+    names = ", ".join(f"d{j}" for j in range(k))
+    bucket = ("CASE " + " ".join(
+        f"WHEN d{j} = greatest({names}) THEN {j}" for j in range(k))
+        + " END")
+    probe_rank = ("CASE i " + " ".join(
+        f"WHEN {j} THEN qd.d{j}" for j in range(k)) + " END")
+    vals = ", ".join(f"({j})" for j in range(k))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT vec_id, v,
+       {dots}
+      FROM e),
+b AS (SELECT vec_id, v, ({bucket}) AS bucket FROM d),
+qd AS (SELECT {names} FROM d WHERE vec_id = 0),
+probes AS (
+    SELECT i FROM (VALUES {vals}) t(i), qd
+    ORDER BY {probe_rank} DESC, i ASC LIMIT {n_probe}
+),
+qv AS (SELECT v FROM e WHERE vec_id = 0),
+cand AS (
+    SELECT b.vec_id, b.v FROM b
+    WHERE b.vec_id <> 0 AND b.bucket IN (SELECT i FROM probes)
+),
+s AS (SELECT c.vec_id AS id,
+             round(list_cosine_similarity(c.v, qv.v), 6) AS cosine
+      FROM cand c, qv)
+SELECT row_number() OVER (ORDER BY cosine DESC, id ASC)::BIGINT AS rank,
+       id, cosine
+FROM s ORDER BY rank LIMIT 10
+"""
+
+
 def q_embedding_dups(spark, sf_dir):
     """Graded on the SCALE path: OR-amplified multi-table LSH candidate
     join + exact-cosine verify, hash-checked against DuckDB's exhaustive
@@ -1317,6 +1384,7 @@ def queries() -> dict:
         "q32_sessionize": q_sessionize,
         "q33_lineitem_pricing": q_lineitem_pricing,
         "q34_top_customers": q_top_customers,
+        "q35_ivf_topk": q_ivf_topk,
     }
 
 
@@ -1357,4 +1425,5 @@ def oracle_sql() -> dict:
         "q32_sessionize": SQL_SESSIONIZE,
         "q33_lineitem_pricing": SQL_LINEITEM_PRICING,
         "q34_top_customers": SQL_TOP_CUSTOMERS,
+        "q35_ivf_topk": _sql_ivf_topk(),
     }

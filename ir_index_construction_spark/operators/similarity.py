@@ -92,6 +92,86 @@ def lsh_bucketed_topk(df: DataFrame, id_col: str, vec_col: str,
     return cosine_topk_bruteforce(cand, id_col, vec_col, query_vec, k)
 
 
+def random_anchors(dim: int, k: int, seed: int = 7) -> np.ndarray:
+    """Seeded random unit anchors — a data-independent coarse quantizer
+    (random Voronoi partition).  Cross-engine reproducible (the driver
+    oracle re-derives the same literals), unlike trained centroids."""
+    rng = np.random.default_rng(seed)
+    C = rng.standard_normal((k, dim))
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
+def kmeans_centroids(df: DataFrame, id_col: str, vec_col: str,
+                     k: int = 8, sample: int = 256, iters: int = 10,
+                     seed: int = 7) -> np.ndarray:
+    """Spherical Lloyd's iterations on a DETERMINISTIC driver-side
+    sample (lowest ids) — the IVF coarse-quantizer training step.
+    Training is inherently an offline driver/notebook job: the quantizer
+    is k x dim floats, broadcast into the assignment expression; at
+    10^12 docs only the assignment pass is distributed."""
+    X = np.asarray(
+        [r[0] for r in df.select(vec_col).orderBy(id_col)
+         .limit(sample).collect()], dtype=float)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    return C
+
+
+def _anchor_dots(vec_col: str, centroids: np.ndarray) -> list:
+    """One whole-stage-codegen'd dot product per anchor (literal
+    weights, left-associated fold — the order the SQL oracle mirrors)."""
+    return [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(w)) for w in c]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        for c in centroids
+    ]
+
+
+def ivf_assign_expr(vec_col: str, centroids: np.ndarray):
+    """Inverted-list id = nearest anchor by dot product, first index
+    winning ties (CASE-chain argmax — same rule as the SQL twin)."""
+    dots = _anchor_dots(vec_col, centroids)
+    best = F.greatest(*dots)
+    expr = F.when(dots[0] == best, 0)
+    for i in range(1, len(dots)):
+        expr = expr.when(dots[i] == best, i)
+    return expr
+
+
+def ivf_topk(df: DataFrame, id_col: str, vec_col: str, query_vec: list,
+             k: int = 10, centroids: np.ndarray | None = None,
+             n_centroids: int = 8, n_probe: int = 2,
+             seed: int = 7) -> DataFrame:
+    """IVF ANN top-k: vectors partition into inverted lists by nearest
+    coarse-quantizer anchor; the query probes its ``n_probe`` nearest
+    lists and scores exact cosine inside them.  ``centroids`` defaults
+    to seeded random anchors (oracle-reproducible); pass
+    ``kmeans_centroids(...)`` output for the trained variant.  At scale
+    the list id is a partition/cluster key — probing is partition
+    pruning, the same physical story as lsh_bucketed_topk but with
+    dot-product (not hamming) probe ranking."""
+    if centroids is None:
+        centroids = random_anchors(len(query_vec), n_centroids, seed)
+    qd = centroids @ np.asarray(query_vec, dtype=float)
+    probes = [int(i) for i in np.argsort(-qd, kind="stable")[:n_probe]]
+    cand = df.filter(ivf_assign_expr(vec_col, centroids).isin(probes))
+    return cosine_topk_bruteforce(cand, id_col, vec_col, query_vec, k)
+
+
 def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                         threshold: float = 0.95, n_planes: int = 6,
                         dim: int = 64, seed: int = 42,

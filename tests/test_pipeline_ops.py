@@ -134,6 +134,33 @@ def test_lsh_topk_recall(emb_df):
     assert len(set(exact) & set(approx)) >= 3
 
 
+def test_ivf_topk_trained_and_exhaustive(emb_df):
+    """IVF with TRAINED (spherical k-means) centroids: probing every
+    inverted list must reproduce brute force bit-identically (the list
+    partition is exhaustive), and a 2-of-4-list probe must keep the
+    planted near-duplicate plus majority recall@5.  The random-anchor
+    variant is hash-checked cross-engine by driver query q35."""
+    from ir_index_construction_spark.operators.similarity import (
+        cosine_topk_bruteforce, ivf_topk, kmeans_centroids)
+
+    df, vecs = emb_df
+    q = [float(x) for x in vecs[3]]
+    C = kmeans_centroids(df, "vec_id", "embedding", k=4, sample=50)
+    assert C.shape == (4, 16)
+
+    exact = cosine_topk_bruteforce(df, "vec_id", "embedding", q, k=5).collect()
+    allprobe = ivf_topk(df, "vec_id", "embedding", q, k=5,
+                        centroids=C, n_probe=4).collect()
+    assert [(r["id"], r["cosine"]) for r in allprobe] == [
+        (r["id"], r["cosine"]) for r in exact]
+
+    approx = [r["id"] for r in
+              ivf_topk(df, "vec_id", "embedding", q, k=5,
+                       centroids=C, n_probe=2).collect()]
+    assert 3 in approx and 7 in approx       # near-dup pair found
+    assert len(set(r["id"] for r in exact) & set(approx)) >= 3
+
+
 def test_embedding_dup_pairs(emb_df):
     from ir_index_construction_spark.operators.similarity import embedding_dup_pairs
 
