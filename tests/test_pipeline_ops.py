@@ -341,6 +341,54 @@ def test_streaming_windowed_agg_watermark_semantics(spark, tmp_path):
     assert len(got2) == 6             # hours 0,1,2 x {click, view}
 
 
+def test_streaming_stateful_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions close either
+    in-batch (a large gap arrives) or via EVENT-TIME TIMEOUT (the
+    watermark passes last_ts + gap), each emitted exactly once; open
+    sessions survive across runs in the checkpointed state."""
+    import datetime as dt
+
+    from ir_index_construction_spark.schemas import EVENTS
+    from ir_index_construction_spark.streaming.sessions import (
+        streaming_sessionize)
+
+    def ev(i, user, h, m):
+        return (i, dt.datetime(2024, 1, 1, h, m, 0), user, "click", 1.0, "{}")
+
+    # run 1: user 1 closes a session IN-BATCH (70-min gap); user 2's
+    # session closes by TIMEOUT (watermark 01:10 > 00:15+30min); user
+    # 1's new session (01:20) stays open (timeout 01:50 > 01:10)
+    rows1 = [ev(0, 1, 0, 0), ev(1, 1, 0, 10), ev(2, 1, 1, 20),
+             ev(3, 2, 0, 5), ev(4, 2, 0, 15)]
+    # run 2: user 1's open session extends (01:25), then closes by
+    # timeout (watermark 02:50); user 3 (03:00) stays open
+    rows2 = [ev(5, 1, 1, 25), ev(6, 3, 3, 0)]
+
+    inp = tmp_path / "sess_in"
+    ck = str(tmp_path / "sess_ck")
+    out = str(tmp_path / "sess_out")
+    spark.createDataFrame(rows1, EVENTS).write.parquet(str(inp / "f1"))
+    got1 = sorted(
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+         r["n_events"])
+        for r in streaming_sessionize(
+            spark, str(inp) + "/*", ck, out, gap_minutes=30).collect())
+    assert got1 == [
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 2),
+        (2, "2024-01-01 00:05:00", "2024-01-01 00:15:00", 2),
+    ]
+
+    spark.createDataFrame(rows2, EVENTS).write.parquet(str(inp / "f2"))
+    got2 = sorted(
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+         r["n_events"])
+        for r in streaming_sessionize(
+            spark, str(inp) + "/*", ck, out, gap_minutes=30).collect())
+    assert got2 == sorted(got1 + [
+        (1, "2024-01-01 01:20:00", "2024-01-01 01:25:00", 2),
+    ])
+
+
 def test_streaming_crash_before_commit_leaves_nothing(spark, tmp_path):
     """The round-2 VERDICT torn-commit window: a crash between the
     postings append and the docs append could leave postings with no
