@@ -72,6 +72,39 @@ def _write_json_excl(path: str, rec: dict) -> None:
         os.unlink(tmp)
 
 
+def _gc_orphan_versions(vdir: str, committed: int | None) -> list[str]:
+    """Remove v<N>.json files above the COMMITTED version (round-3
+    ADVICE, medium): a writer that crashed between creating its version
+    file and the pointer swap leaves an orphan that is invisible to
+    readers but would make every later create-exclusive claim of that
+    version number raise ``CommitConflict`` forever — the catalog state
+    never advanced, so retrying cannot help.  Under the commit flock no
+    other in-contract writer can be mid-commit, so any file above the
+    committed version is such an orphan and is safe to collect.  (A
+    writer that bypasses the lock is out of contract; it is still
+    detected probabilistically by the create-exclusive link, whose
+    residual race window is now the microseconds inside this critical
+    section rather than forever.)  Returns the collected paths."""
+    if committed is None:
+        committed = -1
+    removed = []
+    if not os.path.isdir(vdir):
+        return removed
+    for name in os.listdir(vdir):
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        try:
+            version = int(name[1:-5])
+        except ValueError:
+            continue
+        if version > committed:
+            path = os.path.join(vdir, name)
+            with contextlib.suppress(OSError):
+                os.unlink(path)
+                removed.append(path)
+    return removed
+
+
 class Transaction:
     """Stages writes to any number of tables; ``commit`` makes them all
     visible in ONE atomic catalog-pointer swap."""
@@ -108,7 +141,12 @@ class Transaction:
         manifest writes happen inside the critical section.  Version
         files are additionally created create-exclusive, so a foreign
         writer that bypasses the lock raises ``CommitConflict`` instead
-        of silently clobbering a manifest.  flock scopes to one host —
+        of silently clobbering a manifest; orphan version files left by
+        a writer that CRASHED between its version-file write and the
+        pointer swap are garbage-collected under the lock before the
+        version is claimed, so that crash window is self-healing rather
+        than wedging every later commit (round-3 ADVICE).  flock scopes
+        to one host —
         the production analogue is an Iceberg REST catalog's
         compare-and-swap, which this layout maps onto directly.
         """
@@ -181,7 +219,12 @@ class Catalog:
             return json.load(f)
 
     def _commit_catalog(self, tables: dict, parent: dict | None) -> dict:
+        """Only called under ``_commit_lock`` (Transaction.commit, drop):
+        orphan version files from crashed commits are collected before
+        the new version is claimed, so a crash between the version-file
+        write and the pointer swap is self-healing (round-3 ADVICE)."""
         os.makedirs(self._cdir(), exist_ok=True)
+        _gc_orphan_versions(self._cdir(), parent["version"] if parent else None)
         version = (parent["version"] + 1) if parent else 0
         rec = {
             "version": version,
@@ -213,6 +256,9 @@ class Catalog:
                               operation: str) -> dict:
         sdir = os.path.join(self._tdir(table), "snapshots")
         os.makedirs(sdir, exist_ok=True)
+        # under the commit lock: collect crashed-commit orphans above the
+        # committed snapshot before claiming the next version number
+        _gc_orphan_versions(sdir, parent["version"] if parent else None)
         version = (parent["version"] + 1) if parent else 0
         snap = {
             "version": version,

@@ -213,20 +213,49 @@ def test_concurrent_commits_no_lost_update(spark, tmp_path):
     assert cat._catalog_current()["version"] == 8
 
 
-def test_foreign_version_file_raises_commit_conflict(spark, tmp_path):
-    """A writer that bypasses the lock (pre-created version file) must
-    raise instead of clobbering the manifest."""
+def test_orphan_version_file_is_garbage_collected(spark, tmp_path):
+    """Round-3 ADVICE (medium): a writer that crashed between writing
+    v<N>.json and the pointer swap leaves an orphan that previously made
+    every later commit raise CommitConflict FOREVER (the catalog state
+    never advanced, so the retry the docstring advised re-derived the
+    same version N every time).  Under the flock such orphans — catalog-
+    level AND table-snapshot-level — are collected before the version is
+    claimed, so the commit succeeds and publishes the new data."""
     import os
 
-    from ir_index_construction_spark.sources.catalog import (
-        Catalog as Cat, CommitConflict)
+    from ir_index_construction_spark.sources.catalog import Catalog as Cat
 
-    cat = Cat(str(tmp_path / "cat_conflict"))
+    cat = Cat(str(tmp_path / "cat_orphan"))
     cat.write(spark.range(2).withColumnRenamed("id", "x"), "t")
+    # simulate the torn window: catalog v1 + table snapshot v1 written,
+    # pointer never swapped (orphan content is a plausible real record)
     with open(os.path.join(cat._cdir(), "v1.json"), "w") as f:
-        f.write("{}")
-    with pytest.raises(CommitConflict):
-        cat.append(spark.range(2).withColumnRenamed("id", "x"), "t")
+        f.write('{"version": 1, "tables": {"t": 1}}')
+    with open(os.path.join(cat._tdir("t"), "snapshots", "v1.json"), "w") as f:
+        f.write('{"version": 1, "files": []}')
+    assert cat._catalog_current()["version"] == 0   # orphan invisible
+    cat.append(spark.range(3).withColumnRenamed("id", "x"), "t")
+    assert cat._catalog_current()["version"] == 1
+    assert cat.read(spark, "t").count() == 5
+    # and the catalog keeps working across further commits
+    cat.append(spark.range(1).withColumnRenamed("id", "x"), "t")
+    assert cat.read(spark, "t").count() == 6
+
+
+def test_orphan_above_first_commit_heals_empty_catalog(spark, tmp_path):
+    """The same crash window on the very first commit (no committed
+    parent at all): every v*.json is an orphan and must be collected."""
+    import os
+
+    from ir_index_construction_spark.sources.catalog import Catalog as Cat
+
+    cat = Cat(str(tmp_path / "cat_orphan0"))
+    os.makedirs(cat._cdir())
+    with open(os.path.join(cat._cdir(), "v0.json"), "w") as f:
+        f.write('{"version": 0, "tables": {}}')
+    cat.write(spark.range(2).withColumnRenamed("id", "x"), "t")
+    assert cat._catalog_current()["version"] == 0
+    assert cat.read(spark, "t").count() == 2
 
 
 def test_legacy_layout_detected(tmp_path):
