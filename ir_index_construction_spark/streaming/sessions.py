@@ -2,31 +2,53 @@
 ``applyInPandasWithState``.
 
 Batch twin: ``operators.events.session_stats`` (driver query q32).
-Here the per-user session is STATE carried across micro-batches:
+Here per-user session CLUSTERS are state carried across micro-batches.
 
-  state       (session_start, last_ts, n_events) for the open session
-  in-batch    events extend the session while the gap <= gap_minutes;
-              a larger gap EMITS the closed session and opens a new one
-  timeout     an event-time timeout at last_ts + gap fires when the
-              WATERMARK passes it — the open session is emitted and the
-              state cleared, so idle users' sessions close without
-              waiting for their next event, and state stays bounded by
-              the number of currently-active users
+Semantics (round-3 ADVICE, late-data correctness): a session is only
+emitted once the WATERMARK has passed ``session_end + gap`` — before
+that, a late event inside the lateness bound could still extend it (or
+bridge it with a neighbouring session), so gap-closed sessions are
+buffered in state rather than emitted eagerly.  This makes the streamed
+output equal to the batch twin over the same accepted events: gap
+clustering of 1-D points is exactly reproducible from per-cluster
+summaries ``(start, last, n)`` — merging clusters whose intervals come
+within ``gap`` of each other (summing counts) yields the same clusters
+as re-running the batch pass over the union of raw timestamps, because
+interior gaps of each summarized cluster are already <= gap and only
+boundary gaps change when points arrive.
 
-Arrow-batched throughout (one pandas frame per user per batch — no
-per-row Python), keyed shuffle on user_id only.
+State per user: three parallel arrays over the pending clusters
+(buffered gap-closed sessions + the open tail session, unified — every
+pending cluster is still extendable until the watermark passes its
+close).  Each invocation:
+
+  1. new events -> size-1 clusters, appended to the state clusters;
+  2. one vectorized merge (lexsort + cummax + reduceat — no per-event
+     Python loop, round-3 VERDICT item 2: a bot-heavy user can
+     concentrate 10^5 events of a micro-batch in this one group);
+  3. clusters with ``last + gap < watermark`` are FINAL (any later
+     accepted event t satisfies t >= watermark > last + gap, so it
+     cannot extend them) -> emitted, exactly once;
+  4. the rest go back to state; the event-time timeout re-arms at the
+     earliest pending close so idle users flush when the watermark
+     passes, without waiting for their next event.
+
+Arrow-batched throughout; keyed shuffle on user_id only; state bounded
+by (active users) x (pending clusters within the lateness horizon).
 """
 
 from __future__ import annotations
 
 from typing import Any, Iterable, Tuple
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    IntegerType, LongType, StructField, StructType, TimestampType)
+    ArrayType, IntegerType, LongType, StructField, StructType,
+    TimestampType)
 
 from ..schemas import EVENTS
 
@@ -37,12 +59,29 @@ SESSION_OUT = StructType([
     StructField("n_events", IntegerType(), False),
 ])
 
-# state: epoch-micros start/last + count (plain longs — Arrow-friendly)
+# state: pending clusters as parallel arrays of epoch-micros bounds +
+# event counts (plain longs — Arrow-friendly, no nested structs)
 SESSION_STATE = StructType([
-    StructField("start_us", LongType(), False),
-    StructField("last_us", LongType(), False),
-    StructField("n", IntegerType(), False),
+    StructField("start_us", ArrayType(LongType()), False),
+    StructField("last_us", ArrayType(LongType()), False),
+    StructField("n", ArrayType(LongType()), False),
 ])
+
+
+def _merge_clusters(starts: np.ndarray, lasts: np.ndarray, ns: np.ndarray,
+                    gap_us: int):
+    """Single-linkage interval clustering with slop ``gap_us``,
+    vectorized: sort by start, split where a start exceeds the running
+    max of previous ends by more than the gap, reduce per segment."""
+    order = np.lexsort((lasts, starts))
+    starts, lasts, ns = starts[order], lasts[order], ns[order]
+    head = np.empty(len(starts), dtype=bool)
+    head[0] = True
+    head[1:] = starts[1:] - np.maximum.accumulate(lasts)[:-1] > gap_us
+    idx = np.flatnonzero(head)
+    return (starts[idx],
+            np.maximum.reduceat(lasts, idx),
+            np.add.reduceat(ns, idx))
 
 
 def _make_session_fn(gap_minutes: int):
@@ -51,42 +90,55 @@ def _make_session_fn(gap_minutes: int):
     def fn(key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
            state: GroupState) -> Iterable[pd.DataFrame]:
         (user_id,) = key
-        closed: list = []
-
-        def emit(start_us: int, last_us: int, n: int):
-            closed.append((user_id, pd.Timestamp(start_us, unit="us"),
-                           pd.Timestamp(last_us, unit="us"), n))
-
-        if state.hasTimedOut:
-            # watermark passed last_ts + gap: the open session is over
-            start_us, last_us, n = state.get
-            emit(start_us, last_us, n)
-            state.remove()
+        if state.exists:
+            s, l, n = state.get
+            starts = np.asarray(s, dtype=np.int64)
+            lasts = np.asarray(l, dtype=np.int64)
+            ns = np.asarray(n, dtype=np.int64)
         else:
-            ts = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
+            starts = lasts = ns = np.empty(0, dtype=np.int64)
+
+        if not state.hasTimedOut:
             # Arrow hands timestamps as datetime64[ns] or [us] depending
             # on the pandas/pyarrow pairing — normalize to micros
-            ts_us = ts.to_numpy().astype("datetime64[us]").astype("int64")
-            if state.exists:
-                start_us, last_us, n = state.get
-            else:
-                start_us = last_us = int(ts_us[0])
-                n = 0
-                ts_us = ts_us  # first event still counted below
-            for t in ts_us:
-                t = int(t)
-                if n > 0 and t - last_us > gap_us:
-                    emit(start_us, last_us, n)
-                    start_us, n = t, 0
-                last_us = max(last_us, t)
-                n += 1
-            state.update((start_us, last_us, n))
-            # fire when the watermark passes the open session's close
-            state.setTimeoutTimestamp((last_us + gap_us) // 1000)
-        if closed:
-            yield pd.DataFrame(
-                closed, columns=["user_id", "session_start",
-                                 "session_end", "n_events"])
+            ts = np.concatenate([
+                pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+                for pdf in pdfs])
+            starts = np.concatenate([starts, ts])
+            lasts = np.concatenate([lasts, ts])
+            ns = np.concatenate([ns, np.ones(len(ts), dtype=np.int64)])
+
+        if len(starts) == 0:
+            state.remove()
+            return
+
+        starts, lasts, ns = _merge_clusters(starts, lasts, ns, gap_us)
+
+        # watermark gate: any future accepted event has t >= wm, so a
+        # cluster with last + gap < wm can never gain a member (t would
+        # need t - last <= gap, i.e. t <= last + gap < wm)
+        wm_ms = state.getCurrentWatermarkMs()
+        final = lasts + gap_us < wm_ms * 1000
+
+        if final.all():
+            state.remove()
+        else:
+            keep = ~final
+            state.update((starts[keep].tolist(), lasts[keep].tolist(),
+                          ns[keep].tolist()))
+            # re-arm at the earliest pending close (must sit strictly
+            # above the current watermark or Spark rejects it)
+            close_ms = (int(lasts[keep].min()) + gap_us) // 1000 + 1
+            state.setTimeoutTimestamp(max(close_ms, wm_ms + 1))
+
+        if final.any():
+            yield pd.DataFrame({
+                "user_id": np.full(int(final.sum()), user_id,
+                                   dtype=np.int64),
+                "session_start": pd.to_datetime(starts[final], unit="us"),
+                "session_end": pd.to_datetime(lasts[final], unit="us"),
+                "n_events": ns[final].astype(np.int32),
+            })
 
     return fn
 
@@ -97,8 +149,10 @@ def streaming_sessionize(spark: SparkSession, input_dir: str,
                          lateness: str = "10 minutes") -> DataFrame:
     """Drain input_dir (availableNow); append closed sessions to the
     parquet sink.  Returns a DataFrame over output_dir = all sessions
-    closed so far (each exactly once; open sessions stay in state
-    across runs via the checkpoint)."""
+    closed so far (each exactly once, only after the watermark passes
+    their close — late events within ``lateness`` fold into the correct
+    session; pending sessions stay in state across runs via the
+    checkpoint)."""
     stream = (spark.readStream.schema(EVENTS).parquet(input_dir)
               .withColumn("ts", F.col("ts").cast("timestamp")))
     sessions = (

@@ -1,6 +1,7 @@
 """Dedup / similarity / text-analysis / multimodal / streaming operators."""
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -387,6 +388,101 @@ def test_streaming_stateful_sessionize(spark, tmp_path):
     assert got2 == sorted(got1 + [
         (1, "2024-01-01 01:20:00", "2024-01-01 01:25:00", 2),
     ])
+
+
+def test_streaming_sessionize_late_event_folds_in(spark, tmp_path):
+    """Round-3 ADVICE: sessions must NOT be emitted until the watermark
+    passes session_end + gap, so a late event inside the lateness bound
+    folds into the right session — including the hard case where it
+    BRIDGES two pending clusters into one.  Run 1 leaves two one-event
+    clusters (00:00, 00:50; gap 30 min, lateness 60 min keeps both
+    extendable).  Run 2's late 00:25 event is within the gap of both, so
+    the batch semantics make them ONE session of 3 events — eager
+    emission would have split it.  The closed output equals the batch
+    twin restricted to sessions the final watermark has passed."""
+    import datetime as dt
+
+    from ir_index_construction_spark.operators.events import session_stats
+    from ir_index_construction_spark.schemas import EVENTS
+    from ir_index_construction_spark.streaming.sessions import (
+        streaming_sessionize)
+
+    def ev(i, h, m):
+        return (i, dt.datetime(2024, 1, 1, h, m, 0), 1, "click", 1.0, "{}")
+
+    rows1 = [ev(0, 0, 0), ev(1, 0, 50)]
+    rows2 = [ev(2, 0, 25), ev(3, 3, 0)]     # late bridge + wm push to 02:00
+
+    inp = tmp_path / "late_in"
+    ck = str(tmp_path / "late_ck")
+    out = str(tmp_path / "late_out")
+    spark.createDataFrame(rows1, EVENTS).write.parquet(str(inp / "f1"))
+    got1 = streaming_sessionize(spark, str(inp) + "/*", ck, out,
+                                gap_minutes=30, lateness="60 minutes")
+    assert got1.count() == 0                # both clusters still open
+
+    spark.createDataFrame(rows2, EVENTS).write.parquet(str(inp / "f2"))
+    got2 = sorted(
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+         r["n_events"])
+        for r in streaming_sessionize(
+            spark, str(inp) + "/*", ck, out,
+            gap_minutes=30, lateness="60 minutes").collect())
+    assert got2 == [(1, "2024-01-01 00:00:00", "2024-01-01 00:50:00", 3)]
+
+    # parity with the batch twin over ALL events, restricted to sessions
+    # whose close (end + gap) the final watermark (02:00) has passed
+    batch = session_stats(
+        spark.createDataFrame(rows1 + rows2, EVENTS), gap_minutes=30)
+    wm = dt.datetime(2024, 1, 1, 2, 0, 0)
+    closed = [
+        (r["user_id"], str(r["session_start"]),
+         str(r["session_start"] + dt.timedelta(seconds=r["duration_sec"])),
+         r["n_events"])
+        for r in batch.collect()
+        if (r["session_start"] + dt.timedelta(seconds=r["duration_sec"],
+                                              minutes=30)) < wm]
+    assert got2 == sorted(closed)
+
+
+def test_streaming_sessionize_hot_key_vectorized(spark, tmp_path):
+    """Round-3 VERDICT item 2: a bot-heavy user concentrates a whole
+    micro-batch's events in ONE state group — the in-group scan must be
+    vectorized, not per-event Python.  100k events for one user in one
+    batch: 1000 bursts of 100 events (1 s apart) separated by 1 h gaps.
+    All but the last burst close under the final watermark; each must
+    come out with exactly 100 events and its true bounds."""
+    import numpy as np
+
+    from ir_index_construction_spark.schemas import EVENTS
+    from ir_index_construction_spark.streaming.sessions import (
+        streaming_sessionize)
+
+    n_bursts, per = 1000, 100
+    burst = np.arange(n_bursts, dtype=np.int64) * 3600
+    off = np.arange(per, dtype=np.int64)
+    ts_s = (burst[:, None] + off[None, :]).ravel() + 1_700_000_000
+    pdf = pd.DataFrame({
+        "event_id": np.arange(len(ts_s), dtype=np.int64),
+        "ts": pd.to_datetime(ts_s, unit="s"),
+        "user_id": np.int64(1),
+        "event_type": "click",
+        "value": 1.0,
+        "payload": "{}",
+    })
+    inp = tmp_path / "hot_in"
+    (spark.createDataFrame(pdf, schema=EVENTS)
+     .write.parquet(str(inp / "f1")))
+    got = streaming_sessionize(
+        spark, str(inp) + "/*", str(tmp_path / "hot_ck"),
+        str(tmp_path / "hot_out"), gap_minutes=30, lateness="10 minutes")
+    rows = got.orderBy("session_start").collect()
+    assert len(rows) == n_bursts - 1        # last burst still open
+    assert all(r["n_events"] == per for r in rows)
+    assert (rows[0]["session_start"].isoformat(),
+            rows[0]["session_end"].isoformat()) == (
+        pd.Timestamp(1_700_000_000, unit="s").isoformat(),
+        pd.Timestamp(1_700_000_099, unit="s").isoformat())
 
 
 def test_streaming_crash_before_commit_leaves_nothing(spark, tmp_path):
