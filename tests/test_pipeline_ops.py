@@ -162,6 +162,48 @@ def test_ivf_topk_trained_and_exhaustive(emb_df):
     assert len(set(r["id"] for r in exact) & set(approx)) >= 3
 
 
+def test_bucket_pandas_bit_identical_to_literal_expr(spark):
+    """Round-3 VERDICT item 3: the broadcast-matrix pandas bucket path
+    (used when tables x planes x dim exceeds LITERAL_BUCKET_BUDGET) must
+    be BIT-identical to the literal expression fold — the seeded-literal
+    SQL oracles stay valid whichever path runs.  dim 256 so the pandas
+    path is the one a real embedding column would take."""
+    from ir_index_construction_spark.operators.similarity import (
+        _bucket_arrays_pandas, _bucket_expr, _hyperplanes)
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((200, 256)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    planes_list = [_hyperplanes(256, 8, seed=42 + 7919 * t)
+                   for t in range(2)]
+    lit = df.select(
+        "vec_id", *[_bucket_expr("embedding", p).alias(f"b{t}")
+                    for t, p in enumerate(planes_list)])
+    pdu = df.select(
+        "vec_id",
+        _bucket_arrays_pandas(spark, "embedding", planes_list).alias("bs"))
+    got_lit = {r["vec_id"]: (r["b0"], r["b1"]) for r in lit.collect()}
+    got_pdu = {r["vec_id"]: tuple(r["bs"]) for r in pdu.collect()}
+    assert got_lit == got_pdu
+
+
+def test_kmeans_clamps_k_and_uniform_sample(emb_df):
+    """k larger than the sample must clamp (not raise from rng.choice),
+    and the seeded-hash-rank sample is deterministic across calls."""
+    from ir_index_construction_spark.operators.similarity import (
+        kmeans_centroids)
+
+    df, _ = emb_df
+    C = kmeans_centroids(df, "vec_id", "embedding", k=80, sample=20)
+    assert C.shape == (20, 16)
+    C2 = kmeans_centroids(df, "vec_id", "embedding", k=4, sample=50)
+    C3 = kmeans_centroids(df, "vec_id", "embedding", k=4, sample=50)
+    assert np.array_equal(C2, C3)
+    assert np.allclose(np.linalg.norm(C2, axis=1), 1.0)
+
+
 def test_embedding_dup_pairs(emb_df):
     from ir_index_construction_spark.operators.similarity import embedding_dup_pairs
 
