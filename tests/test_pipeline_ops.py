@@ -523,6 +523,78 @@ def test_streaming_sessionize_late_event_folds_in(spark, tmp_path):
     assert got2 == sorted(closed)
 
 
+def test_streaming_sessionize_randomized_batch_parity(spark, tmp_path):
+    """Property check over a seeded random stream: events for 12 users
+    arrive out of order across THREE drains (each run's late events stay
+    inside the lateness bound); after every drain, the closed-session
+    output must equal the batch twin over all events seen so far,
+    restricted to sessions whose close the current watermark passed.
+    Exercises cluster extension, bridging, timeout closure and
+    cross-run state resume on adversarial (not hand-picked) data."""
+    import datetime as dt
+
+    from ir_index_construction_spark.operators.events import session_stats
+    from ir_index_construction_spark.schemas import EVENTS
+    from ir_index_construction_spark.streaming.sessions import (
+        streaming_sessionize)
+
+    rng = np.random.default_rng(97)
+    base = dt.datetime(2024, 3, 1)
+    gap_min, lateness_min = 20, 45
+    # three waves of event times; each wave's minimum permitted time is
+    # (running max over previous waves) - lateness, so nothing is
+    # dropped as too-late and the batch twin sees every event
+    waves, seen, eid = [], [], 0
+    lo = 0.0
+    for w in range(3):
+        rows = []
+        hi = (w + 1) * 300.0                      # minutes
+        for _ in range(150):
+            u = int(rng.integers(0, 12))
+            # whole seconds: the batch twin's duration_sec is integer
+            # (epoch-cast) — sub-second event times would make its
+            # reconstructed session_end lossy, not an engine divergence
+            t = round(float(rng.uniform(lo, hi)) * 60)
+            rows.append((eid, base + dt.timedelta(seconds=t), u,
+                         "click", 1.0, "{}"))
+            eid += 1
+        max_so_far = max(r[1] for r in rows + [r for wv in waves for r in wv])
+        lo = max((max_so_far - base).total_seconds() / 60 - lateness_min, 0.0)
+        waves.append(rows)
+
+    inp = tmp_path / "rand_in"
+    ck = str(tmp_path / "rand_ck")
+    out = str(tmp_path / "rand_out")
+
+    def norm(rows):
+        return sorted(rows)
+
+    for w, rows in enumerate(waves):
+        seen += rows
+        spark.createDataFrame(rows, EVENTS).write.parquet(
+            str(inp / f"f{w}"))
+        got = norm(
+            (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+             r["n_events"])
+            for r in streaming_sessionize(
+                spark, str(inp) + "/*", ck, out, gap_minutes=gap_min,
+                lateness=f"{lateness_min} minutes").collect())
+        wm = (max(r[1] for r in seen)
+              - dt.timedelta(minutes=lateness_min))
+        want = norm(
+            (r["user_id"], str(r["session_start"]),
+             str(r["session_start"]
+                 + dt.timedelta(seconds=r["duration_sec"])),
+             r["n_events"])
+            for r in session_stats(
+                spark.createDataFrame(seen, EVENTS),
+                gap_minutes=gap_min).collect()
+            if (r["session_start"]
+                + dt.timedelta(seconds=r["duration_sec"],
+                               minutes=gap_min)) < wm)
+        assert got == want, f"wave {w}: stream/batch divergence"
+
+
 def test_streaming_sessionize_hot_key_vectorized(spark, tmp_path):
     """Round-3 VERDICT item 2: a bot-heavy user concentrates a whole
     micro-batch's events in ONE state group — the in-group scan must be
