@@ -492,8 +492,10 @@ def q_ngram_jaccard_dups(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-SQL_NGRAM_JACCARD = f"""
-WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 800),
+# shared by q12 (the pair stream itself) and q36 (connected components
+# over it) — one definition so the two queries can't drift apart
+_NGRAM_PAIR_CTES = f"""
+d AS (SELECT doc_id, text FROM documents WHERE doc_id < 800),
 t AS (SELECT doc_id AS _id, string_split_regex(lower(text), '\\s+') AS _t FROM d),
 sh0 AS (
     SELECT DISTINCT _id,
@@ -508,13 +510,19 @@ inter AS (
     SELECT a._id AS id_a, b._id AS id_b, count(*)::BIGINT AS inter
     FROM sh a JOIN sh b ON a.shingle = b.shingle AND a._id < b._id
     GROUP BY a._id, b._id
-)
-SELECT i.id_a, i.id_b,
-       round(i.inter / (sa.sz + sb.sz - i.inter)::DOUBLE, 6) AS jaccard
-FROM inter i
-JOIN sz sa ON i.id_a = sa._id
-JOIN sz sb ON i.id_b = sb._id
-WHERE i.inter / (sa.sz + sb.sz - i.inter)::DOUBLE >= 0.2
+),
+pairs AS (
+    SELECT i.id_a, i.id_b,
+           round(i.inter / (sa.sz + sb.sz - i.inter)::DOUBLE, 6) AS jaccard
+    FROM inter i
+    JOIN sz sa ON i.id_a = sa._id
+    JOIN sz sb ON i.id_b = sb._id
+    WHERE i.inter / (sa.sz + sb.sz - i.inter)::DOUBLE >= 0.2
+)"""
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_NGRAM_PAIR_CTES}
+SELECT id_a, id_b, jaccard FROM pairs
 """
 
 
@@ -1345,6 +1353,159 @@ ORDER BY rank LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# dedup clustering, repetition filters, source rollup, deterministic splits
+# ---------------------------------------------------------------------------
+
+def q_dup_clusters(spark, sf_dir):
+    """Connected components over the q12 near-dup pair stream + the
+    keep-one-per-cluster verdict for every doc (operators/dedup.py
+    duplicate_clusters / canonical_assignment)."""
+    from .operators.dedup import canonical_assignment, ngram_jaccard_pairs
+
+    df = _docs(spark, sf_dir).filter(F.col("doc_id") < 800)
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.2,
+                                max_shingle_df=JACCARD_DF_CAP)
+    return canonical_assignment(df, "doc_id", pairs)
+
+
+# transitive closure via recursive CTE: reach(src, dst) enumerates every
+# vertex reachable from src; least(src, min(dst)) is the component min —
+# the same fixpoint the Spark hash-min propagation converges to
+SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTES},
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+lab0 AS (SELECT src AS id, least(src, min(dst)) AS cid FROM reach GROUP BY src),
+lab AS (SELECT d.doc_id AS id, coalesce(l.cid, d.doc_id) AS cluster_id
+        FROM d LEFT JOIN lab0 l ON d.doc_id = l.id),
+csz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+        FROM lab GROUP BY cluster_id)
+SELECT lab.id, lab.cluster_id, c.cluster_size,
+       (lab.id = lab.cluster_id) AS is_canonical
+FROM lab JOIN csz c USING (cluster_id)
+"""
+
+
+def q_repetition(spark, sf_dir):
+    from .operators.textstats import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_REPETITION = """
+WITH t AS (
+    SELECT doc_id AS id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '') AS _t
+    FROM documents
+),
+pr AS (
+    SELECT id,
+           len(_t)::BIGINT AS n_tokens,
+           len(list_distinct(_t)) AS d1,
+           len(list_transform(range(0, greatest(len(_t) - 1, 0)),
+               i -> concat_ws(' ', _t[i + 1], _t[i + 2]))) AS n2,
+           len(list_distinct(list_transform(range(0, greatest(len(_t) - 1, 0)),
+               i -> concat_ws(' ', _t[i + 1], _t[i + 2])))) AS d2,
+           len(list_transform(range(0, greatest(len(_t) - 2, 0)),
+               i -> concat_ws(' ', _t[i + 1], _t[i + 2], _t[i + 3]))) AS n3,
+           len(list_distinct(list_transform(range(0, greatest(len(_t) - 2, 0)),
+               i -> concat_ws(' ', _t[i + 1], _t[i + 2], _t[i + 3])))) AS d3
+    FROM t
+),
+tok AS (SELECT id, unnest(_t) AS tok FROM t),
+cnt AS (SELECT id, tok, count(*) AS c FROM tok GROUP BY id, tok),
+top AS (SELECT id, max(c) AS topc FROM cnt GROUP BY id)
+SELECT pr.id, pr.n_tokens,
+       CASE WHEN pr.n_tokens > 0
+            THEN round(pr.d1 / pr.n_tokens::DOUBLE, 6) ELSE 0.0 END
+           AS distinct_token_ratio,
+       CASE WHEN pr.n_tokens > 0
+            THEN round(coalesce(top.topc, 0) / pr.n_tokens::DOUBLE, 6)
+            ELSE 0.0 END AS top_token_frac,
+       CASE WHEN pr.n2 > 0
+            THEN round((pr.n2 - pr.d2) / pr.n2::DOUBLE, 6) ELSE 0.0 END
+           AS dup_2gram_frac,
+       CASE WHEN pr.n3 > 0
+            THEN round((pr.n3 - pr.d3) / pr.n3::DOUBLE, 6) ELSE 0.0 END
+           AS dup_3gram_frac
+FROM pr LEFT JOIN top ON pr.id = top.id
+"""
+
+
+def q_source_stats(spark, sf_dir):
+    from .operators.textstats import source_stats
+
+    return source_stats(_docs(spark, sf_dir))
+
+
+SQL_SOURCE_STATS = """
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT md5(text))::BIGINT AS n_unique_texts,
+       sum(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '')))::BIGINT AS total_ws_tokens,
+       round(avg(length(text)), 6) AS avg_chars,
+       count(DISTINCT lang)::BIGINT AS n_langs
+FROM documents GROUP BY source
+"""
+
+
+SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+SPLIT_SEED = 13
+SAMPLE_RATES = {"en": 0.5, "es": 0.25, "de": 0.25, "fr": 0.1}
+SAMPLE_SEED = 29
+
+
+def q_split(spark, sf_dir):
+    from .operators.sampling import deterministic_split
+
+    return deterministic_split(_docs(spark, sf_dir), "doc_id",
+                               SPLIT_WEIGHTS, seed=SPLIT_SEED)
+
+
+def _sql_split() -> str:
+    from .operators.sampling import DENOM, split_bounds
+
+    names = list(SPLIT_WEIGHTS)
+    bounds = split_bounds(SPLIT_WEIGHTS)
+    u = f"({_sql_hash64('doc_id::VARCHAR', SPLIT_SEED)} % {DENOM})"
+    case = "CASE " + " ".join(
+        f"WHEN {u} < {b} THEN '{names[i]}'" for i, b in enumerate(bounds)
+    ) + f" ELSE '{names[-1]}' END"
+    return f"""
+SELECT doc_id AS id, {u}::BIGINT AS bucket, {case} AS split
+FROM documents
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    from .operators.sampling import stratified_sample
+
+    out = stratified_sample(_docs(spark, sf_dir), "doc_id", "lang",
+                            SAMPLE_RATES, seed=SAMPLE_SEED)
+    return out.select(F.col("doc_id").alias("id"), "lang", "bucket")
+
+
+def _sql_stratified_sample() -> str:
+    from .operators.sampling import DENOM
+
+    u = f"({_sql_hash64('doc_id::VARCHAR', SAMPLE_SEED)} % {DENOM})"
+    rate = "CASE " + " ".join(
+        f"WHEN lang = '{s}' THEN {int(round(r * DENOM))}"
+        for s, r in SAMPLE_RATES.items()) + " ELSE 0 END"
+    return f"""
+SELECT doc_id AS id, lang, {u}::BIGINT AS bucket
+FROM documents WHERE {u} < {rate}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1385,6 +1546,11 @@ def queries() -> dict:
         "q33_lineitem_pricing": q_lineitem_pricing,
         "q34_top_customers": q_top_customers,
         "q35_ivf_topk": q_ivf_topk,
+        "q36_dup_clusters": q_dup_clusters,
+        "q37_repetition": q_repetition,
+        "q38_source_stats": q_source_stats,
+        "q39_split": q_split,
+        "q40_stratified_sample": q_stratified_sample,
     }
 
 
@@ -1426,4 +1592,9 @@ def oracle_sql() -> dict:
         "q33_lineitem_pricing": SQL_LINEITEM_PRICING,
         "q34_top_customers": SQL_TOP_CUSTOMERS,
         "q35_ivf_topk": _sql_ivf_topk(),
+        "q36_dup_clusters": SQL_DUP_CLUSTERS,
+        "q37_repetition": SQL_REPETITION,
+        "q38_source_stats": SQL_SOURCE_STATS,
+        "q39_split": _sql_split(),
+        "q40_stratified_sample": _sql_stratified_sample(),
     }

@@ -13,6 +13,9 @@ possible so they survive a 100x scale-up:
   simhash_64              64-bit SimHash fingerprint per doc (native
                           bit-ops over md5 halves)
   embedding_dup_pairs     cosine near-dup pairs (see similarity.py)
+  duplicate_clusters      connected components over the pair stream
+                          (hash-min label propagation, one shuffle/round)
+  canonical_assignment    per-doc cluster id + keep-one-per-cluster flag
 
 Hash parity note: hashes derive from ONE md5 per shingle (available and
 bit-identical in Spark, DuckDB and Python) — the MinHash family then
@@ -282,6 +285,103 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+def duplicate_clusters(pairs: DataFrame, id_a_col: str = "id_a",
+                       id_b_col: str = "id_b",
+                       max_iter: int = 30) -> DataFrame:
+    """Connected components over near-dup pairs -> (id, cluster_id), where
+    cluster_id is the minimum member id of the component.  This is the
+    half of dedup the pair operators don't give you: "keep one doc per
+    duplicate CLUSTER" needs transitive closure (a~b, b~c => one group),
+    not just the pairwise edges.
+
+    Algorithm: hash-min label propagation.  Every vertex starts labeled
+    with its own id; each round every vertex takes the min of its label
+    and its neighbors' labels; fixpoint = components.  Each round is one
+    shuffle keyed on the edge target (neighbor-min aggregation) plus one
+    id-keyed join — no driver-side data, no cross join.  Convergence is
+    detected from a single scalar aggregate (labels only ever decrease,
+    so the label sum strictly drops until the fixpoint); lineage is
+    truncated per round with localCheckpoint, else the iterative plan
+    grows exponentially in the optimizer.
+
+    Scale: rounds needed = component diameter.  Near-dup components from
+    LSH/Jaccard edges are dense (near-cliques around a template), so 2-4
+    rounds is typical at web scale; a pathological chain of length d
+    needs d rounds, which max_iter guards (the alternating large-star /
+    small-star variant converges in O(log d) rounds and is the upgrade
+    path if real data ever hits the guard).  The label sum is aggregated
+    as DECIMAL(38,0): a LONG sum would overflow at ~10^9 vertices with
+    64-bit ids.
+    """
+    e = pairs.select(F.col(id_a_col).alias("src"), F.col(id_b_col).alias("dst"))
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)      # materialized once, read every round
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .select("id", F.col("id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(lab: DataFrame):
+        row = lab.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.col("cluster_id").cast("decimal(38,0)")),
+                       F.lit(0).cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return row["n"], row["s"]
+
+    sig = _sig(labels)
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src").agg(F.min("cluster_id").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["cluster_id"],
+                    F.coalesce(F.col("_nmin"), labels["cluster_id"]),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sig = _sig(new_labels)
+        labels = new_labels
+        if new_sig == sig:
+            return labels
+        sig = new_sig
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_iter} rounds — "
+        "component diameter exceeds the guard; raise max_iter or switch "
+        "to large-star/small-star propagation")
+
+
+def canonical_assignment(df: DataFrame, id_col: str,
+                         pairs: DataFrame) -> DataFrame:
+    """Full-corpus dedup verdict: every doc gets (id, cluster_id,
+    cluster_size, is_canonical).  Docs in no pair are their own
+    singleton cluster; within a cluster the minimum id is canonical
+    (deterministic "keep exactly one per cluster").  One left join
+    against the component labels + one size aggregation — the filter
+    `is_canonical` IS the training-data keep-list."""
+    lab = duplicate_clusters(pairs)
+    full = (
+        df.select(F.col(id_col).alias("id"))
+        .join(lab, "id", "left")
+        .select("id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id"))
+    )
+    csz = full.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size"))
+    return full.join(csz, "cluster_id").select(
+        "id", "cluster_id", "cluster_size",
+        (F.col("id") == F.col("cluster_id")).alias("is_canonical"))
 
 
 def simhash_64(df: DataFrame, id_col: str, text_col: str,

@@ -101,6 +101,88 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                       "digit_ratio", F.round(quality, 6).alias("quality"))
 
 
+def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition filters: (id, n_tokens,
+    distinct_token_ratio, top_token_frac, dup_2gram_frac, dup_3gram_frac).
+
+    The repetition family from the Gopher data-quality rules: documents
+    dominated by one token or by repeated n-grams (keyword stuffing,
+    boilerplate loops, ASCII art) are dropped before training.
+
+      distinct_token_ratio  |types| / |tokens|  (type-token ratio)
+      top_token_frac        count(mode token) / |tokens|
+      dup_Ngram_frac        1 - |distinct N-grams| / |N-grams|
+
+    Scale shape: the n-gram fractions are PER-ROW array expressions
+    (transform + array_distinct on the token array — zero shuffles);
+    only the mode-token count needs an explode, done as one two-level
+    aggregation (map-side combined) joined back on id.  All arithmetic
+    is exactly mirrored by the DuckDB oracle (q37)."""
+    toks = F.filter(_tok_col(text_col), lambda t: t != "")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_t"))
+
+    def ngrams(n: int):
+        # NB sequence(0, -1) yields [0, -1] (descending inference): guard
+        # docs shorter than n explicitly, as the dedup shingles do
+        return F.expr(
+            f"CASE WHEN size(_t) >= {n} THEN "
+            f"transform(sequence(0, size(_t) - {n}), "
+            f"i -> concat_ws(' ', slice(_t, i + 1, {n}))) "
+            f"ELSE cast(array() AS array<string>) END")
+
+    per_row = base.select(
+        "id",
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("_t")).alias("_d1"),
+        F.size(ngrams(2)).alias("_n2"),
+        F.size(F.array_distinct(ngrams(2))).alias("_d2"),
+        F.size(ngrams(3)).alias("_n3"),
+        F.size(F.array_distinct(ngrams(3))).alias("_d3"),
+    )
+    top = (
+        base.select("id", F.explode("_t").alias("tok"))
+        .groupBy("id", "tok").agg(F.count("*").alias("_c"))
+        .groupBy("id").agg(F.max("_c").alias("_top"))
+    )
+
+    def frac(num, den):
+        return (F.when(den > F.lit(0), F.round(num / den, 6))
+                .otherwise(F.lit(0.0)))
+
+    out = per_row.join(top, "id", "left")
+    return out.select(
+        "id", "n_tokens",
+        frac(F.col("_d1"), F.col("n_tokens")).alias("distinct_token_ratio"),
+        frac(F.coalesce(F.col("_top"), F.lit(0)), F.col("n_tokens"))
+        .alias("top_token_frac"),
+        frac(F.col("_n2") - F.col("_d2"), F.col("_n2")).alias("dup_2gram_frac"),
+        frac(F.col("_n3") - F.col("_d3"), F.col("_n3")).alias("dup_3gram_frac"),
+    )
+
+
+def source_stats(df: DataFrame, source_col: str = "source",
+                 text_col: str = "text", lang_col: str = "lang") -> DataFrame:
+    """Per-source corpus rollup: (source, n_docs, n_unique_texts,
+    total_ws_tokens, avg_chars, n_langs).  Domain/source-level stats are
+    the unit of curation decisions in a web-scale pipeline (drop a crawl
+    source, cap a domain's share) — one hash aggregation, map-side
+    combined; the distinct counts shuffle (source, md5) / (source, lang)
+    pairs, never documents."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: t != "")
+    return (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct(F.md5(F.col(text_col))).cast("long")
+            .alias("n_unique_texts"),
+            F.sum(F.size(toks)).cast("long").alias("total_ws_tokens"),
+            F.round(F.avg(F.length(F.col(text_col))), 6).alias("avg_chars"),
+            F.countDistinct(F.col(lang_col)).cast("long").alias("n_langs"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 4) -> DataFrame:
     """(id, fp STRING): min-hash sketch fingerprint — the k smallest
     md5-derived token hashes, hyphen-joined.  Shift/word-order robust,

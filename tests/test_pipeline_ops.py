@@ -94,6 +94,134 @@ def test_simhash_dup_invariance(docs_df):
     assert ham(got[0], got[2]) < ham(got[0], got[5])
 
 
+def test_duplicate_clusters_transitive(spark):
+    """a~b, b~c must land in ONE cluster even though (a,c) is not a
+    pair; a 12-hop chain forces multiple propagation rounds; untouched
+    pairs stay separate components."""
+    from ir_index_construction_spark.operators.dedup import (
+        duplicate_clusters)
+
+    # component {0,1,2} via chain, component {10,11}, chain 20..32
+    pairs = [(0, 1), (1, 2), (10, 11)] + [(i, i + 1) for i in range(20, 32)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"]
+           for r in duplicate_clusters(df).collect()}
+    assert got[0] == got[1] == got[2] == 0
+    assert got[10] == got[11] == 10
+    assert all(got[i] == 20 for i in range(20, 33))
+    assert len(got) == 3 + 2 + 13
+
+
+def test_duplicate_clusters_empty_and_guard(spark):
+    from ir_index_construction_spark.operators.dedup import (
+        duplicate_clusters)
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert duplicate_clusters(empty).count() == 0
+    chain = spark.createDataFrame([(i, i + 1) for i in range(6)],
+                                  "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(chain, max_iter=1)
+
+
+def test_canonical_assignment_keep_list(spark, docs_df):
+    """Full-corpus verdict over the exact-dup clique {0,1,6}: min id is
+    canonical, everyone else in the cluster is dropped, singletons keep
+    themselves — filtering is_canonical yields exactly one doc per
+    distinct content."""
+    from ir_index_construction_spark.operators.dedup import (
+        canonical_assignment, ngram_jaccard_pairs)
+
+    pairs = ngram_jaccard_pairs(docs_df, "doc_id", "text",
+                                n=3, threshold=0.99)
+    got = {r["id"]: r for r in
+           canonical_assignment(docs_df, "doc_id", pairs).collect()}
+    assert len(got) == 7
+    assert got[0]["cluster_id"] == 0 and got[0]["is_canonical"]
+    assert got[1]["cluster_id"] == 0 and not got[1]["is_canonical"]
+    assert got[6]["cluster_id"] == 0 and got[6]["cluster_size"] == 3
+    for i in (2, 3, 4, 5):
+        assert got[i]["cluster_id"] == i and got[i]["cluster_size"] == 1
+    keep = [i for i, r in got.items() if r["is_canonical"]]
+    assert sorted(keep) == [0, 2, 3, 4, 5]
+
+
+def test_repetition_signals(spark):
+    from ir_index_construction_spark.operators.textstats import (
+        repetition_signals)
+
+    df = spark.createDataFrame(
+        [(0, "spam spam spam spam"),               # one token repeated
+         (1, "a b c d e f"),                       # all distinct
+         (2, "x y x y x y")],                      # repeated bigram "x y"
+        "doc_id long, text string")
+    got = {r["id"]: r for r in
+           repetition_signals(df, "doc_id", "text").collect()}
+    assert got[0]["n_tokens"] == 4
+    assert got[0]["distinct_token_ratio"] == 0.25
+    assert got[0]["top_token_frac"] == 1.0
+    assert got[0]["dup_2gram_frac"] == round(2 / 3, 6)   # 3 grams, 1 distinct
+    assert got[1]["distinct_token_ratio"] == 1.0
+    assert got[1]["top_token_frac"] == round(1 / 6, 6)
+    assert got[1]["dup_2gram_frac"] == 0.0
+    # doc 2: tokens x,y alternate -> 5 bigrams, 2 distinct ("x y", "y x")
+    assert got[2]["dup_3gram_frac"] == 0.5               # 4 grams, 2 distinct
+    assert got[2]["dup_2gram_frac"] == 0.6
+
+
+def test_source_stats(spark):
+    from ir_index_construction_spark.operators.textstats import source_stats
+
+    df = spark.createDataFrame(
+        [(0, "aa bb", "en", "s1"), (1, "aa bb", "de", "s1"),
+         (2, "cc", "en", "s1"), (3, "dd ee ff", "en", "s2")],
+        "doc_id long, text string, lang string, source string")
+    got = {r["source"]: r for r in source_stats(df).collect()}
+    assert got["s1"]["n_docs"] == 3 and got["s1"]["n_unique_texts"] == 2
+    assert got["s1"]["total_ws_tokens"] == 5 and got["s1"]["n_langs"] == 2
+    assert got["s2"]["n_docs"] == 1 and got["s2"]["avg_chars"] == 8.0
+
+
+def test_deterministic_split_stable_and_proportional(spark):
+    """The split of an id must not change when the corpus grows (pure
+    function of (seed, id)), proportions must track the weights, and
+    every id gets exactly one split."""
+    from ir_index_construction_spark.operators.sampling import (
+        deterministic_split)
+
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    s_small = {r["id"]: r["split"] for r in
+               deterministic_split(small, "doc_id").collect()}
+    s_big = {r["id"]: r["split"] for r in
+             deterministic_split(big, "doc_id").collect()}
+    assert all(s_big[i] == s_small[i] for i in s_small)
+    from collections import Counter
+    c = Counter(s_big.values())
+    assert c["train"] + c["val"] + c["test"] == 5000
+    assert 0.88 < c["train"] / 5000 < 0.92
+    assert 0.03 < c["val"] / 5000 < 0.07
+    assert 0.03 < c["test"] / 5000 < 0.07
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from ir_index_construction_spark.operators.sampling import (
+        stratified_sample)
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zz").alias("lang"))
+    kept = stratified_sample(df, "doc_id", "lang",
+                             {"en": 0.3}, default_rate=0.0)
+    rows = kept.collect()
+    assert all(r["lang"] == "en" for r in rows)         # zz dropped
+    assert 0.25 < len(rows) / 2000 < 0.35               # ~30% of en
+    again = set(r["doc_id"] for r in kept.collect())
+    assert again == set(r["doc_id"] for r in rows)      # deterministic
+    # the sampling predicate is row-local: no shuffle in the plan
+    assert "Exchange" not in kept._jdf.queryExecution().executedPlan().toString()
+
+
 @pytest.fixture(scope="module")
 def emb_df(spark):
     rng = np.random.default_rng(11)
