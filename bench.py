@@ -357,6 +357,25 @@ def main():
     timed("quality", lambda: quality_score(docs_tbl, "doc_id", "text").count(),
           reps=op_reps)
 
+    # round-4 family: connected components over the near-dup pair
+    # stream (iterative label propagation), the Gopher repetition
+    # filters, and the per-source rollup — timed so regressions in the
+    # iterative-join machinery and the array-expression layer show up
+    from ir_index_construction_spark.operators.dedup import duplicate_clusters
+    from ir_index_construction_spark.operators.textstats import (
+        repetition_signals, source_stats)
+
+    dup_pairs = minhash_lsh_pairs(docs_tbl, "doc_id", "text",
+                                  threshold=0.5).persist()
+    dup_pairs.count()
+    timed("dedup_cluster", lambda: duplicate_clusters(dup_pairs).count(),
+          reps=op_reps)
+    dup_pairs.unpersist()
+    timed("repetition", lambda: repetition_signals(
+        docs_tbl, "doc_id", "text").count(), reps=op_reps)
+    timed("source_stats", lambda: source_stats(docs_tbl).count(),
+          reps=op_reps)
+
     # streaming-layer drain throughput (round-3 VERDICT item 5): the
     # three streaming operators had no bench line, so foreachBatch /
     # atomic-commit / state-store overhead regressions were invisible.
