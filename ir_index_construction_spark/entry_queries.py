@@ -1506,6 +1506,124 @@ FROM documents WHERE {u} < {rate}
 
 
 # ---------------------------------------------------------------------------
+# PII scrub (q41): the documents table is synthetic word-soup with no
+# natural PII, so the query derives a text column with DETERMINISTIC
+# synthetic PII (seeded by doc_id, mirrored token-for-token in the SQL
+# twin) — the oracle then checks detection counts AND the md5 of the
+# redacted text, i.e. the whole scrub path end-to-end.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_MOD, PII_PHONE_MOD, PII_IP_MOD = 7, 11, 13
+
+
+def _pii_text_col():
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(did % PII_EMAIL_MOD == 0,
+               F.concat(F.lit(" contact user"), did.cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(did % PII_PHONE_MOD == 0,
+               F.concat(F.lit(" call +1-555-"),
+                        F.lpad((did % 1000).cast("string"), 3, "0"),
+                        F.lit("-0142"))).otherwise(F.lit("")),
+        F.when(did % PII_IP_MOD == 0,
+               F.concat(F.lit(" host 10."), (did % 256).cast("string"),
+                        F.lit(".0.1 up"))).otherwise(F.lit("")),
+    )
+
+
+def q_pii(spark, sf_dir):
+    from .operators.pii import pii_signals, redact_pii
+
+    df = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"),
+                                     _pii_text_col().alias("_pt"))
+    out = redact_pii(pii_signals(df, "_pt"), "_pt")
+    return out.select(
+        "id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        "has_pii",
+        F.md5("redacted").alias("red_md5"),
+    )
+
+
+def _sql_pii() -> str:
+    from .operators.pii import PII_PATTERNS
+
+    pt = (
+        "text"
+        f" || CASE WHEN doc_id % {PII_EMAIL_MOD} = 0 THEN"
+        " ' contact user' || doc_id::VARCHAR || '@example.com'"
+        " ELSE '' END"
+        f" || CASE WHEN doc_id % {PII_PHONE_MOD} = 0 THEN"
+        " ' call +1-555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')"
+        " || '-0142' ELSE '' END"
+        f" || CASE WHEN doc_id % {PII_IP_MOD} = 0 THEN"
+        " ' host 10.' || (doc_id % 256)::VARCHAR || '.0.1 up'"
+        " ELSE '' END"
+    )
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(pt, '{pat}', 0))::BIGINT AS n_{name}"
+        for name, pat in PII_PATTERNS)
+    red = "pt"
+    for name, pat in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+    any_hit = " OR ".join(
+        f"len(regexp_extract_all(pt, '{pat}', 0)) > 0"
+        for _, pat in PII_PATTERNS)
+    return f"""
+WITH t AS (SELECT doc_id AS id, {pt} AS pt FROM documents)
+SELECT id,
+       {counts},
+       ({any_hit}) AS has_pii,
+       md5({red}) AS red_md5
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (q42): eval set = every 29th document; a
+# training doc is contaminated if it shares any 13-token shingle with
+# the eval set.  The eval docs self-contaminate by construction, and
+# near-duplicate corpus docs surface as extra hits.
+# ---------------------------------------------------------------------------
+
+DECON_MOD = 29
+DECON_N = 13
+
+
+def q_decontam(spark, sf_dir):
+    from .operators.decontam import contaminated_docs
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    out = contaminated_docs(docs, bench, "doc_id", "text", n=DECON_N)
+    return out.select("id", "n_hits")
+
+
+def _sql_decontam() -> str:
+    cols = ", ".join(f"_t[i + {j}]" for j in range(1, DECON_N + 1))
+    ng = (f"list_transform(range(0, greatest(len(_t) - {DECON_N - 1}, 0)), "
+          f"i -> concat_ws(' ', {cols}))")
+    return f"""
+WITH t AS (
+    SELECT doc_id AS id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '') AS _t
+    FROM documents
+),
+g AS (SELECT id, unnest({ng}) AS ngram FROM t),
+gd AS (SELECT DISTINCT id, ngram FROM g),
+b AS (SELECT DISTINCT ngram FROM g WHERE id % {DECON_MOD} = 0)
+SELECT id, count(*)::BIGINT AS n_hits
+FROM gd JOIN b USING (ngram)
+GROUP BY id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1551,6 +1669,8 @@ def queries() -> dict:
         "q38_source_stats": q_source_stats,
         "q39_split": q_split,
         "q40_stratified_sample": q_stratified_sample,
+        "q41_pii_scrub": q_pii,
+        "q42_decontaminate": q_decontam,
     }
 
 
@@ -1597,4 +1717,6 @@ def oracle_sql() -> dict:
         "q38_source_stats": SQL_SOURCE_STATS,
         "q39_split": _sql_split(),
         "q40_stratified_sample": _sql_stratified_sample(),
+        "q41_pii_scrub": _sql_pii(),
+        "q42_decontaminate": _sql_decontam(),
     }

@@ -222,6 +222,64 @@ def test_stratified_sample_rates_and_determinism(spark):
     assert "Exchange" not in kept._jdf.queryExecution().executedPlan().toString()
 
 
+def test_pii_detect_and_redact(spark):
+    from ir_index_construction_spark.operators.pii import (
+        pii_signals, redact_pii)
+
+    df = spark.createDataFrame(
+        [(0, "mail me at jo.doe+x@sub.example.org or a@b.co thanks"),
+         (1, "call +44-123-456-7890 from 192.168.0.1 tonight"),
+         (2, "no pii here just words and 1234 numbers"),
+         (3, "")],
+        "doc_id long, text string")
+    sig = {r["doc_id"]: r for r in pii_signals(df, "text").collect()}
+    assert sig[0]["n_email"] == 2 and sig[0]["has_pii"]
+    assert sig[1]["n_phone"] == 1 and sig[1]["n_ipv4"] == 1
+    assert sig[2]["n_email"] == sig[2]["n_phone"] == sig[2]["n_ipv4"] == 0
+    assert not sig[2]["has_pii"] and not sig[3]["has_pii"]
+    red = {r["doc_id"]: r["redacted"]
+           for r in redact_pii(df, "text").collect()}
+    assert red[0] == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert red[1] == "call <PHONE> from <IPV4> tonight"
+    assert red[2] == df.collect()[2]["text"]  # untouched
+    # detect -> redact composes into one row-local pass: no shuffle
+    plan = redact_pii(pii_signals(df, "text"), "text")
+    assert "Exchange" not in \
+        plan._jdf.queryExecution().executedPlan().toString()
+
+
+def test_decontaminate_shingle_overlap(spark):
+    """A doc sharing a 5-token shingle with the benchmark is flagged
+    with the count of distinct overlapping shingles; short docs and
+    non-overlapping docs are not; repeated shingles count once."""
+    from ir_index_construction_spark.operators.decontam import (
+        contaminated_docs)
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france and spain")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(0, "quiz: what is the capital of france and spain answer here"),
+         (1, "what is the capital of france "
+             "what is the capital of france today"),     # repeated shingle
+         (2, "totally unrelated words in this training document ok"),
+         (3, "short doc")],
+        "doc_id long, text string")
+    got = {r["id"]: r["n_hits"]
+           for r in contaminated_docs(corpus, bench, "doc_id", "text",
+                                      n=5).collect()}
+    # doc 0 contains all 4 of the benchmark's 5-gram shingles
+    assert got[0] == 4
+    # doc 1 repeats two benchmark shingles ("what is the capital of",
+    # "is the capital of france") -> each counted once despite recurring
+    assert got[1] == 2
+    assert 2 not in got and 3 not in got
+    # the benchmark side is broadcast: corpus never shuffles pre-join
+    plan = contaminated_docs(corpus, bench, "doc_id", "text", n=5)
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in s and "LeftSemi" in s
+
+
 @pytest.fixture(scope="module")
 def emb_df(spark):
     rng = np.random.default_rng(11)
