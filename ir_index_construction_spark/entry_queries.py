@@ -1624,6 +1624,49 @@ GROUP BY id
 
 
 # ---------------------------------------------------------------------------
+# Sequence packing (q43): T5-style pack-and-chop layout of the corpus
+# into fixed-token training sequences, sharded by id hash.
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 512
+PACK_SHARDS = 16
+PACK_SEED = 41
+
+
+def q_pack(spark, sf_dir):
+    from .operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), "doc_id", "text",
+                          budget=PACK_BUDGET, shards=PACK_SHARDS,
+                          seed=PACK_SEED)
+
+
+def _sql_pack() -> str:
+    h = _sql_hash64("doc_id::VARCHAR", PACK_SEED)
+    return f"""
+WITH t AS (
+    SELECT doc_id AS id,
+           ({h} % {PACK_SHARDS})::BIGINT AS shard,
+           len(list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> ''))::BIGINT AS n_tokens
+    FROM documents
+),
+w AS (
+    SELECT id, shard, n_tokens,
+           coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0)::BIGINT AS seq_begin
+    FROM t
+)
+SELECT id, shard, n_tokens, seq_begin,
+       (seq_begin // {PACK_BUDGET})::BIGINT AS seq_id,
+       (seq_begin % {PACK_BUDGET})::BIGINT AS seq_off
+FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1671,6 +1714,7 @@ def queries() -> dict:
         "q40_stratified_sample": q_stratified_sample,
         "q41_pii_scrub": q_pii,
         "q42_decontaminate": q_decontam,
+        "q43_pack_sequences": q_pack,
     }
 
 
@@ -1719,4 +1763,5 @@ def oracle_sql() -> dict:
         "q40_stratified_sample": _sql_stratified_sample(),
         "q41_pii_scrub": _sql_pii(),
         "q42_decontaminate": _sql_decontam(),
+        "q43_pack_sequences": _sql_pack(),
     }

@@ -280,6 +280,32 @@ def test_decontaminate_shingle_overlap(spark):
     assert "BroadcastHashJoin" in s and "LeftSemi" in s
 
 
+def test_pack_sequences_layout(spark):
+    """Within a shard, seq_begin is the exact running token sum in id
+    order; seq_id/seq_off are its integer split; the layout of existing
+    ids is unchanged when new docs are added to OTHER shards' streams
+    only if their shard differs — i.e. layout is per-shard stable."""
+    from ir_index_construction_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(3 + i))) for i in range(40)],
+        "doc_id long, text string")
+    got = pack_sequences(df, "doc_id", "text", budget=10,
+                         shards=4).collect()
+    by_shard = {}
+    for r in sorted(got, key=lambda r: (r["shard"], r["id"])):
+        cum = by_shard.get(r["shard"], 0)
+        assert r["seq_begin"] == cum
+        assert r["seq_id"] == cum // 10 and r["seq_off"] == cum % 10
+        assert r["n_tokens"] == 3 + r["id"]
+        by_shard[r["shard"]] = cum + r["n_tokens"]
+    assert len(by_shard) == 4                     # all shards populated
+    # deterministic: a rerun reproduces the identical layout
+    again = pack_sequences(df, "doc_id", "text", budget=10,
+                           shards=4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
 @pytest.fixture(scope="module")
 def emb_df(spark):
     rng = np.random.default_rng(11)
