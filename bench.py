@@ -82,6 +82,18 @@ def host_busy_sec() -> float:
     return (sum(v) - v[3] - v[4]) / hz
 
 
+def jvm_gc_ms(spark) -> int:
+    """Cumulative JVM GC milliseconds via the management MXBeans (local
+    mode: driver == executor, so this is ALL the GC there is).  Deltas
+    per phase separate 'the hypervisor stalled us' (external_busy_cores)
+    from 'we stalled ourselves in GC' — the two causes of a latency
+    spike that per-query traces alone can't tell apart."""
+    beans = spark._jvm.java.lang.management.ManagementFactory \
+        .getGarbageCollectorMXBeans()
+    return sum(max(0, beans.get(i).getCollectionTime())
+               for i in range(beans.size()))
+
+
 def corpus_size(sf_dir: str) -> int:
     if env := os.environ.get("SPARK_GRAFT_BENCH_DOCS"):
         return int(env)
@@ -178,18 +190,27 @@ def main():
 
     # best-of-N builds: the sandbox host is a shared VM with measured
     # ~8% steal and bursty co-tenant load (see BENCH/BASELINE.md); the
-    # minimum over reps is the least-interfered measurement
+    # minimum over reps is the least-interfered measurement.  Each rep
+    # records its co-tenant interference, same probe as the query phase.
     reps = int(os.environ.get("SPARK_GRAFT_BUILD_REPS", "3"))
-    built, index = timed("index_build", build)
-    best = timings["index_build"]
-    for _ in range(reps - 1):
-        index.unpersist(blocking=True)
-        built.dictionary.unpersist(blocking=True)
-        built.unpersist()
-        t0 = time.time()
+    build_trace, built, index, best = [], None, None, None
+    for i in range(reps):
+        if i:
+            index.unpersist(blocking=True)
+            built.dictionary.unpersist(blocking=True)
+            built.unpersist()
+        busy0, cpu0, t0 = host_busy_sec(), proc_tree_cpu_sec(), time.time()
+        gc0 = jvm_gc_ms(spark)
         built, index = build()
-        best = min(best, time.time() - t0)
+        dt = time.time() - t0
+        ours = proc_tree_cpu_sec() - cpu0
+        ext = max(0.0, (host_busy_sec() - busy0) - ours) / dt
+        build_trace.append({"wall_sec": round(dt, 2),
+                            "external_busy_cores": round(ext, 2),
+                            "jvm_gc_ms": jvm_gc_ms(spark) - gc0})
+        best = dt if best is None else min(best, dt)
     timings["index_build"] = round(best, 4)
+    extras["build_rep_trace"] = build_trace
     extras["n_docs_indexed"] = built.n_docs
     extras["build_docs_per_sec"] = round(built.n_docs / timings["index_build"], 2)
 
@@ -239,6 +260,7 @@ def main():
     best = {"wand_p50": None, "wand_p95": None, "exhaustive_p50": None}
     for _ in range(query_passes):
         busy0, cpu0, t0 = host_busy_sec(), proc_tree_cpu_sec(), time.time()
+        gc0 = jvm_gc_ms(spark)
         lat_wand, lat_ex = [], []
         for rep in range(3):
             for q in REFERENCE_QUERIES:
@@ -265,8 +287,14 @@ def main():
             "wand_p95": round(sorted(lat_wand)[p95_idx], 4),
             "exhaustive_p50": round(statistics.median(lat_ex), 4),
         }
+        # full per-query latency lists: a tail spike with ~0 external
+        # busy cores is OURS (GC pause, re-materialization), and the
+        # trace shows exactly which query in which rep paid it
         pass_trace.append({**stats, "wall_sec": round(wall, 2),
-                           "external_busy_cores": round(ext, 2)})
+                           "external_busy_cores": round(ext, 2),
+                           "jvm_gc_ms": jvm_gc_ms(spark) - gc0,
+                           "lat_wand": [round(x, 3) for x in lat_wand],
+                           "lat_exhaustive": [round(x, 3) for x in lat_ex]})
         for m, v in stats.items():
             best[m] = v if best[m] is None else min(best[m], v)
     timings.update(best)
