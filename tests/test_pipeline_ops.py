@@ -847,6 +847,47 @@ def test_streaming_sessionize_hot_key_vectorized(spark, tmp_path):
         pd.Timestamp(1_700_000_099, unit="s").isoformat())
 
 
+def test_streaming_dedup_first_arrival_wins(spark, tmp_path):
+    """Exact-dedup stream: each distinct text emitted once across
+    drains; replayed duplicates in later batches are suppressed while
+    within the watermark horizon; the emitted set equals the batch
+    distinct-text set over the same input."""
+    import datetime as dt
+
+    from ir_index_construction_spark.schemas import DOCUMENTS
+    from ir_index_construction_spark.streaming.dedup import (
+        streaming_dedup_docs)
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def doc(i, text, mins):
+        return (f"http://ex.com/{i}", t0 + dt.timedelta(minutes=mins),
+                None, text, "en")
+
+    inp = tmp_path / "in"
+    spark.createDataFrame(
+        [doc(0, "alpha beta", 0), doc(1, "gamma delta", 1),
+         doc(2, "alpha beta", 2)],                 # in-batch dup of 0
+        DOCUMENTS).write.parquet(str(inp / "f1"))
+    out = streaming_dedup_docs(spark, str(inp) + "/*",
+                               str(tmp_path / "ck"), str(tmp_path / "out"))
+    got1 = {r["text"] for r in out.collect()}
+    assert got1 == {"alpha beta", "gamma delta"}
+    # second drain: one cross-batch dup (within horizon) + one new text
+    spark.createDataFrame(
+        [doc(3, "alpha beta", 10), doc(4, "epsilon zeta", 11)],
+        DOCUMENTS).write.parquet(str(inp / "f2"))
+    out = streaming_dedup_docs(spark, str(inp) + "/*",
+                               str(tmp_path / "ck"), str(tmp_path / "out"))
+    rows = out.collect()
+    assert {r["text"] for r in rows} == \
+        {"alpha beta", "gamma delta", "epsilon zeta"}
+    assert len(rows) == 3                          # no re-emission
+    # the survivor of each text is its FIRST arrival
+    by_text = {r["text"]: r["url"] for r in rows}
+    assert by_text["alpha beta"] == "http://ex.com/0"
+
+
 def test_streaming_crash_before_commit_leaves_nothing(spark, tmp_path):
     """The round-2 VERDICT torn-commit window: a crash between the
     postings append and the docs append could leave postings with no
