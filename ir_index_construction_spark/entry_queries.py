@@ -1667,6 +1667,110 @@ FROM w
 
 
 # ---------------------------------------------------------------------------
+# Curation funnel (q44): the whole training-data pipeline as ONE query —
+# language gate, quality gate, repetition gate, exact-dedup keep,
+# decontamination — reporting survivors after each cumulative stage.
+# Any drift in any underlying operator shifts a count, so this is an
+# end-to-end cross-check over the composed pipeline, not a new
+# primitive.  The SQL twin wraps the very oracle fragments the
+# per-operator queries (q17/q18/q37/q42) are hash-checked against.
+# ---------------------------------------------------------------------------
+
+FUNNEL_QUALITY_MIN = 0.05
+FUNNEL_DUP2_MAX = 0.05
+
+
+def q_funnel(spark, sf_dir):
+    from .operators.decontam import contaminated_docs
+    from .operators.textstats import (language_id, quality_score,
+                                      repetition_signals)
+
+    docs = _docs(spark, sf_dir)
+    lang = language_id(docs, "doc_id", "text").select("id", "lang_pred") \
+        .join(docs.select(F.col("doc_id").alias("id"), "lang"), "id")
+    qual = quality_score(docs, "doc_id", "text").select("id", "quality")
+    rep = repetition_signals(docs, "doc_id", "text").select(
+        "id", "dup_2gram_frac")
+    wk = Window.partitionBy(F.md5("text"))
+    first = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") == F.min("doc_id").over(wk)).alias("keep"))
+    bench = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    contam = contaminated_docs(docs, bench, "doc_id", "text",
+                               n=DECON_N).select(
+        "id", F.lit(True).alias("dirty"))
+    j = (lang.join(qual, "id").join(rep, "id").join(first, "id")
+         .join(contam, "id", "left"))
+    f1 = F.col("lang_pred") == F.col("lang")
+    f2 = f1 & (F.col("quality") >= FUNNEL_QUALITY_MIN)
+    f3 = f2 & (F.col("dup_2gram_frac") <= FUNNEL_DUP2_MAX)
+    f4 = f3 & F.col("keep")
+    f5 = f4 & F.col("dirty").isNull()
+
+    def n(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    agg = j.agg(
+        F.count("*").cast("long").alias("s0"), n(f1).alias("s1"),
+        n(f2).alias("s2"), n(f3).alias("s3"), n(f4).alias("s4"),
+        n(f5).alias("s5"))
+    return agg.selectExpr(
+        "stack(6, 0L, 'all', s0, 1L, 'lang_agree', s1,"
+        " 2L, 'quality', s2, 3L, 'repetition', s3,"
+        " 4L, 'exact_dedup', s4, 5L, 'decontaminated', s5)"
+        " AS (stage_id, stage, n_surviving)")
+
+
+def _sql_funnel() -> str:
+    return f"""
+WITH lang AS (SELECT _l.id, lang_pred, d.lang
+          FROM ({_sql_langid()}) _l
+          JOIN documents d ON _l.id = d.doc_id),
+qual AS (SELECT id, quality FROM ({_sql_quality()}) _q),
+rep AS (SELECT id, dup_2gram_frac FROM ({SQL_REPETITION}) _r),
+first_occ AS (
+    SELECT doc_id AS id,
+           (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS keep
+    FROM documents
+),
+contam AS (SELECT id, TRUE AS dirty FROM ({_sql_decontam()}) _c),
+j AS (
+    SELECT lang.id, lang_pred, quality, dup_2gram_frac, keep, dirty,
+           (lang_pred = lang) AS f1
+    FROM lang JOIN qual USING (id) JOIN rep USING (id)
+    JOIN first_occ USING (id) LEFT JOIN contam USING (id)
+),
+fl AS (
+    SELECT *,
+           (f1 AND quality >= {FUNNEL_QUALITY_MIN}) AS f2,
+           (f1 AND quality >= {FUNNEL_QUALITY_MIN}
+               AND dup_2gram_frac <= {FUNNEL_DUP2_MAX}) AS f3,
+           (f1 AND quality >= {FUNNEL_QUALITY_MIN}
+               AND dup_2gram_frac <= {FUNNEL_DUP2_MAX} AND keep) AS f4,
+           (f1 AND quality >= {FUNNEL_QUALITY_MIN}
+               AND dup_2gram_frac <= {FUNNEL_DUP2_MAX} AND keep
+               AND dirty IS NULL) AS f5
+    FROM j
+),
+a AS (
+    SELECT count(*)::BIGINT AS s0,
+           sum(CASE WHEN f1 THEN 1 ELSE 0 END)::BIGINT AS s1,
+           sum(CASE WHEN f2 THEN 1 ELSE 0 END)::BIGINT AS s2,
+           sum(CASE WHEN f3 THEN 1 ELSE 0 END)::BIGINT AS s3,
+           sum(CASE WHEN f4 THEN 1 ELSE 0 END)::BIGINT AS s4,
+           sum(CASE WHEN f5 THEN 1 ELSE 0 END)::BIGINT AS s5
+    FROM fl
+)
+SELECT 0::BIGINT AS stage_id, 'all' AS stage, s0 AS n_surviving FROM a
+UNION ALL SELECT 1, 'lang_agree', s1 FROM a
+UNION ALL SELECT 2, 'quality', s2 FROM a
+UNION ALL SELECT 3, 'repetition', s3 FROM a
+UNION ALL SELECT 4, 'exact_dedup', s4 FROM a
+UNION ALL SELECT 5, 'decontaminated', s5 FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1715,6 +1819,7 @@ def queries() -> dict:
         "q41_pii_scrub": q_pii,
         "q42_decontaminate": q_decontam,
         "q43_pack_sequences": q_pack,
+        "q44_curation_funnel": q_funnel,
     }
 
 
@@ -1764,4 +1869,5 @@ def oracle_sql() -> dict:
         "q41_pii_scrub": _sql_pii(),
         "q42_decontaminate": _sql_decontam(),
         "q43_pack_sequences": _sql_pack(),
+        "q44_curation_funnel": _sql_funnel(),
     }
