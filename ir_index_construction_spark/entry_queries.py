@@ -1686,21 +1686,27 @@ def q_funnel(spark, sf_dir):
                                       repetition_signals)
 
     docs = _docs(spark, sf_dir)
-    lang = language_id(docs, "doc_id", "text").select("id", "lang_pred") \
-        .join(docs.select(F.col("doc_id").alias("id"), "lang"), "id")
-    qual = quality_score(docs, "doc_id", "text").select("id", "quality")
-    rep = repetition_signals(docs, "doc_id", "text").select(
-        "id", "dup_2gram_frac")
-    wk = Window.partitionBy(F.md5("text"))
-    first = docs.select(
-        F.col("doc_id").alias("id"),
-        (F.col("doc_id") == F.min("doc_id").over(wk)).alias("keep"))
+    # One-pass signal chain: lang/quality/repetition are row-local, so
+    # they compose over a SINGLE corpus scan via keep_cols instead of a
+    # scan + id-join each.  The exact-dedup keep flag folds in too:
+    # md5(text) is computed while text is still in scope, so its window
+    # shuffles only thin signal rows, never the html-sized text.  The
+    # only side branches left are the ones that genuinely shuffle:
+    # repetition's mode-token agg and the decontamination semi-join.
+    base = docs.select(F.col("doc_id").alias("id"), "text", "lang",
+                       F.md5("text").alias("h"))
+    sig = language_id(base, "id", "text", keep_cols=("text", "lang", "h"))
+    sig = quality_score(sig, "id", "text",
+                        keep_cols=("text", "lang", "h", "lang_pred"))
+    sig = repetition_signals(sig, "id", "text",
+                             keep_cols=("lang", "h", "lang_pred", "quality"))
+    wk = Window.partitionBy("h")
+    sig = sig.withColumn("keep", F.col("id") == F.min("id").over(wk))
     bench = docs.filter(F.col("doc_id") % DECON_MOD == 0)
     contam = contaminated_docs(docs, bench, "doc_id", "text",
                                n=DECON_N).select(
         "id", F.lit(True).alias("dirty"))
-    j = (lang.join(qual, "id").join(rep, "id").join(first, "id")
-         .join(contam, "id", "left"))
+    j = sig.join(contam, "id", "left")
     f1 = F.col("lang_pred") == F.col("lang")
     f2 = f1 & (F.col("quality") >= FUNNEL_QUALITY_MIN)
     f3 = f2 & (F.col("dup_2gram_frac") <= FUNNEL_DUP2_MAX)

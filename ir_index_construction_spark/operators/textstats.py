@@ -42,11 +42,17 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def language_id(df: DataFrame, id_col: str, text_col: str,
+                keep_cols: tuple = ()) -> DataFrame:
     """(id, <lang>_hits..., lang_pred): marker-stopword hit counts per
-    language, argmax with deterministic tie order en>es>de>fr."""
+    language, argmax with deterministic tie order en>es>de>fr.
+
+    keep_cols: input columns carried through to the output unchanged.
+    The signal is row-local, so callers composing several signal
+    operators (q44 funnel) chain them over ONE corpus scan instead of
+    computing each on its own scan and joining on id."""
     toks = _tok_col(text_col)
-    out = df.select(F.col(id_col).alias("id"), toks.alias("_t"))
+    out = df.select(F.col(id_col).alias("id"), *keep_cols, toks.alias("_t"))
     for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
         out = out.withColumn(
@@ -58,20 +64,23 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     pred = F.when(F.col(f"{langs[0]}_hits") == best, langs[0])
     for l in langs[1:]:
         pred = pred.when(F.col(f"{l}_hits") == best, l)
-    return out.select("id", *[f"{l}_hits" for l in langs],
+    return out.select("id", *keep_cols, *[f"{l}_hits" for l in langs],
                       pred.alias("lang_pred"))
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_score(df: DataFrame, id_col: str, text_col: str,
+                  keep_cols: tuple = ()) -> DataFrame:
     """(id, n_tokens, avg_token_len, stopword_ratio, digit_ratio, quality).
 
     quality in [0,1]: length saturation * stopword-plausibility *
     (1 - digit share).  Deterministic arithmetic, exactly reproducible
-    in ANSI SQL (the DuckDB oracle uses the same expression)."""
+    in ANSI SQL (the DuckDB oracle uses the same expression).
+    keep_cols: input columns carried through (see language_id)."""
     toks = F.filter(_tok_col(text_col), lambda t: t != "")
     sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
     out = df.select(
         F.col(id_col).alias("id"),
+        *keep_cols,
         toks.alias("_t"),
         F.length(F.col(text_col)).alias("_chars"),
         F.size(F.regexp_extract_all(F.col(text_col), F.lit("[0-9]"), 0)).alias("_digits"),
@@ -97,11 +106,13 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         * F.least(F.col("stopword_ratio") * F.lit(4.0), F.lit(1.0))
         * (F.lit(1.0) - F.least(F.col("digit_ratio") * F.lit(2.0), F.lit(1.0)))
     )
-    return out.select("id", "n_tokens", "avg_token_len", "stopword_ratio",
-                      "digit_ratio", F.round(quality, 6).alias("quality"))
+    return out.select("id", *keep_cols, "n_tokens", "avg_token_len",
+                      "stopword_ratio", "digit_ratio",
+                      F.round(quality, 6).alias("quality"))
 
 
-def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def repetition_signals(df: DataFrame, id_col: str, text_col: str,
+                       keep_cols: tuple = ()) -> DataFrame:
     """Gopher-style repetition filters: (id, n_tokens,
     distinct_token_ratio, top_token_frac, dup_2gram_frac, dup_3gram_frac).
 
@@ -117,9 +128,10 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (transform + array_distinct on the token array — zero shuffles);
     only the mode-token count needs an explode, done as one two-level
     aggregation (map-side combined) joined back on id.  All arithmetic
-    is exactly mirrored by the DuckDB oracle (q37)."""
+    is exactly mirrored by the DuckDB oracle (q37).
+    keep_cols: input columns carried through (see language_id)."""
     toks = F.filter(_tok_col(text_col), lambda t: t != "")
-    base = df.select(F.col(id_col).alias("id"), toks.alias("_t"))
+    base = df.select(F.col(id_col).alias("id"), *keep_cols, toks.alias("_t"))
 
     def ngrams(n: int):
         # NB sequence(0, -1) yields [0, -1] (descending inference): guard
@@ -132,6 +144,7 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     per_row = base.select(
         "id",
+        *keep_cols,
         F.size("_t").cast("long").alias("n_tokens"),
         F.size(F.array_distinct("_t")).alias("_d1"),
         F.size(ngrams(2)).alias("_n2"),
@@ -151,7 +164,7 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     out = per_row.join(top, "id", "left")
     return out.select(
-        "id", "n_tokens",
+        "id", *keep_cols, "n_tokens",
         frac(F.col("_d1"), F.col("n_tokens")).alias("distinct_token_ratio"),
         frac(F.coalesce(F.col("_top"), F.lit(0)), F.col("n_tokens"))
         .alias("top_token_frac"),
