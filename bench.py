@@ -404,6 +404,21 @@ def main():
     timed("source_stats", lambda: source_stats(docs_tbl).count(),
           reps=op_reps)
 
+    # data-mixing selectors: salted two-phase per-source cap (skew-proof
+    # top-n) and the per-source token-budget prefix — timed so window /
+    # WindowGroupLimit plan regressions surface
+    from ir_index_construction_spark.operators.sampling import (
+        cap_per_key, token_budget_sample)
+    from ir_index_construction_spark.operators.textstats import token_counts
+
+    timed("source_cap", lambda: cap_per_key(
+        quality_score(docs_tbl, "doc_id", "text", keep_cols=("source",)),
+        "source", [F.col("quality").desc(), F.col("id").asc()],
+        n=10, id_col="id").count(), reps=op_reps)
+    timed("token_budget", lambda: token_budget_sample(
+        token_counts(docs_tbl, "doc_id", "text", keep_cols=("source",)),
+        "source", "ws_tokens", "id", 600).count(), reps=op_reps)
+
     # streaming-layer drain throughput (round-3 VERDICT item 5): the
     # three streaming operators had no bench line, so foreachBatch /
     # atomic-commit / state-store overhead regressions were invisible.

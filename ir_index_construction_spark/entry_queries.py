@@ -1777,6 +1777,82 @@ UNION ALL SELECT 5, 'decontaminated', s5 FROM a
 
 
 # ---------------------------------------------------------------------------
+# Source diversification (q45) and per-source token budget (q46): the
+# two standard "data mixing" selectors a webtext pipeline runs after
+# cleaning — cap how much any one domain/source contributes, then fill
+# each source's token budget in a deterministic unbiased order.
+# ---------------------------------------------------------------------------
+
+CAP_PER_SOURCE = 10
+TOKEN_BUDGET = 600
+BUDGET_SEED = 47
+
+
+def q_source_cap(spark, sf_dir):
+    from .operators.sampling import cap_per_key
+    from .operators.textstats import quality_score
+
+    qual = quality_score(_docs(spark, sf_dir), "doc_id", "text",
+                         keep_cols=("source",))
+    out = cap_per_key(qual, "source",
+                      [F.col("quality").desc(), F.col("id").asc()],
+                      n=CAP_PER_SOURCE, id_col="id")
+    return out.select("id", "source", "quality",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def _sql_source_cap() -> str:
+    return f"""
+WITH q AS (SELECT id, quality FROM ({_sql_quality()}) _q),
+d AS (SELECT doc_id AS id, source FROM documents),
+r AS (
+    SELECT q.id, d.source, q.quality,
+           row_number() OVER (PARTITION BY d.source
+                              ORDER BY q.quality DESC, q.id ASC) AS rank
+    FROM q JOIN d ON q.id = d.id
+)
+SELECT id, source, quality, rank::BIGINT AS rank
+FROM r WHERE rank <= {CAP_PER_SOURCE}
+"""
+
+
+def q_token_budget(spark, sf_dir):
+    from .operators.sampling import token_budget_sample
+    from .operators.textstats import token_counts
+
+    tc = token_counts(_docs(spark, sf_dir), "doc_id", "text",
+                      keep_cols=("source",))
+    out = token_budget_sample(tc, "source", "ws_tokens", "id",
+                              TOKEN_BUDGET, seed=BUDGET_SEED)
+    return out.select("id", "source",
+                      F.col("ws_tokens").cast("long").alias("ws_tokens"),
+                      "cum_weight")
+
+
+def _sql_token_budget() -> str:
+    h = _sql_hash64("id::VARCHAR", BUDGET_SEED)
+    return f"""
+WITH tc AS (
+    SELECT doc_id AS id, source,
+           len(list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> ''))::BIGINT AS ws_tokens
+    FROM documents
+),
+w AS (
+    SELECT id, source, ws_tokens,
+           sum(ws_tokens) OVER (
+               PARTITION BY source
+               ORDER BY {h} ASC, id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )::BIGINT AS cum_weight
+    FROM tc
+)
+SELECT id, source, ws_tokens, cum_weight
+FROM w WHERE cum_weight <= {TOKEN_BUDGET}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1826,6 +1902,8 @@ def queries() -> dict:
         "q42_decontaminate": q_decontam,
         "q43_pack_sequences": q_pack,
         "q44_curation_funnel": q_funnel,
+        "q45_source_cap": q_source_cap,
+        "q46_token_budget": q_token_budget,
     }
 
 
@@ -1876,4 +1954,6 @@ def oracle_sql() -> dict:
         "q42_decontaminate": _sql_decontam(),
         "q43_pack_sequences": _sql_pack(),
         "q44_curation_funnel": _sql_funnel(),
+        "q45_source_cap": _sql_source_cap(),
+        "q46_token_budget": _sql_token_budget(),
     }

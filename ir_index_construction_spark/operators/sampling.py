@@ -17,7 +17,7 @@ Everything is a native row-local expression: no shuffle, no UDF, and at
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import _hash64
 
@@ -79,3 +79,58 @@ def stratified_sample(df: DataFrame, id_col: str, stratum_col: str,
         rate = F.when(F.col(stratum_col) == F.lit(s),
                       F.lit(int(round(r * DENOM)))).otherwise(rate)
     return df.withColumn("bucket", u).filter(F.col("bucket") < rate)
+
+
+def cap_per_key(df: DataFrame, key_col: str, order_cols: list,
+                n: int, id_col: str, salts: int = 8) -> DataFrame:
+    """Keep at most `n` rows per key, preferring the `order_cols` order
+    (domain/source diversification: "at most n docs per domain, best
+    quality first").  `order_cols` MUST be a total order (end with a
+    unique id tiebreak) or the survivor set is nondeterministic.
+
+    Scale shape: a naive row_number over `partitionBy(key)` puts every
+    row of a mega-key in ONE task — the classic skew wall.  This runs
+    the salted two-phase form instead: rows first rank within
+    (key, salt) where salt = hash(id) % salts, keeping `n` per salt
+    group (any global top-n row is top-n within its salt group, so
+    phase 1 keeps a superset), then the <= n*salts survivors per key
+    rank once more for the final cut.  Phase-2 groups are bounded by
+    n*salts regardless of key skew.  Output = input columns + `rank`
+    (1-based preference rank within the key).  Result is bit-identical
+    to the single-window form — asserted in pytest and by the q45
+    DuckDB oracle, which IS the single-window form."""
+    salt = F.pmod(_hash64(F.col(id_col).cast("string"), 0xCA9),
+                  F.lit(salts))
+    w1 = Window.partitionBy(F.col(key_col), salt).orderBy(*order_cols)
+    survivors = (df.withColumn("_rn1", F.row_number().over(w1))
+                 .filter(F.col("_rn1") <= n).drop("_rn1"))
+    w2 = Window.partitionBy(key_col).orderBy(*order_cols)
+    return (survivors.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= n))
+
+
+def token_budget_sample(df: DataFrame, key_col: str, weight_col: str,
+                        id_col: str, budget: int,
+                        seed: int = 47) -> DataFrame:
+    """Greedy per-key prefix under a weight budget (data mixing: "take
+    docs from each source until its token budget is spent").  Rows are
+    consumed in seeded-hash order (uniform, deterministic, id-stable —
+    not arrival order, which would bias toward old crawls), and a row
+    is kept while the running weight INCLUDING it stays <= budget.
+
+    Scale shape: one shuffle, partitioned by key; the running sum is a
+    per-key ordered window with an explicit ROWS frame (Spark's default
+    frame with an ORDER BY is RANGE, which merges ties — the hash+id
+    order is total so either frame agrees, but ROWS is stated so the
+    DuckDB oracle matches by construction).  For a mega-key whose rows
+    dwarf a task, pre-prune with `stratified_sample` at a rate safely
+    above budget/total_weight before the window — the hash order makes
+    the pruned prefix a superset of the kept prefix.  Output = input
+    columns + `cum_weight`."""
+    h = _hash64(F.col(id_col).cast("string"), seed)
+    w = (Window.partitionBy(key_col)
+         .orderBy(h.asc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = df.withColumn(
+        "cum_weight", F.sum(F.col(weight_col).cast("long")).over(w))
+    return out.filter(F.col("cum_weight") <= budget)

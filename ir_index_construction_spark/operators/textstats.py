@@ -30,12 +30,15 @@ def _tok_col(text_col: str):
     return F.split(F.lower(F.col(text_col)), r"\s+")
 
 
-def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def token_counts(df: DataFrame, id_col: str, text_col: str,
+                 keep_cols: tuple = ()) -> DataFrame:
     """(id, ws_tokens, bpe_ish_tokens, n_chars): whitespace token count +
     a BPE-ish segmentation count (letter runs / digit runs / single
-    punctuation — the pre-tokenizer shape most BPE vocabularies use)."""
+    punctuation — the pre-tokenizer shape most BPE vocabularies use).
+    keep_cols: input columns carried through (see language_id)."""
     return df.select(
         F.col(id_col).alias("id"),
+        *keep_cols,
         F.size(F.filter(_tok_col(text_col), lambda t: t != "")).alias("ws_tokens"),
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_ISH), 0)).alias("bpe_ish_tokens"),
         F.length(F.col(text_col)).alias("n_chars"),

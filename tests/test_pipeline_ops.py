@@ -222,6 +222,76 @@ def test_stratified_sample_rates_and_determinism(spark):
     assert "Exchange" not in kept._jdf.queryExecution().executedPlan().toString()
 
 
+def test_cap_per_key_matches_single_window_under_skew(spark):
+    """The salted two-phase cap must be bit-identical to the naive
+    single-window form, including on a mega-key (the case the salting
+    exists for), and must respect the cap per key."""
+    from pyspark.sql import Window
+    from ir_index_construction_spark.operators.sampling import cap_per_key
+
+    df = spark.range(0, 2030).select(
+        F.col("id"),
+        F.when(F.col("id") < 2000, "hot").otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 6).cast("string")))
+        .alias("key"),
+        F.pmod(F.col("id") * 37 + 11, F.lit(100)).alias("score"))
+    order = [F.col("score").desc(), F.col("id").asc()]
+    got = cap_per_key(df, "key", order, n=7, id_col="id", salts=8)
+    rows = {(r["key"], r["id"], r["rank"]) for r in got.collect()}
+
+    naive = (df.withColumn(
+        "rank", F.row_number().over(
+            Window.partitionBy("key").orderBy(*order)))
+        .filter(F.col("rank") <= 7))
+    want = {(r["key"], r["id"], r["rank"]) for r in naive.collect()}
+    assert rows == want
+    from collections import Counter
+    per_key = Counter(k for k, _, _ in rows)
+    assert per_key["hot"] == 7 and max(per_key.values()) <= 7
+    # deterministic under repartitioning
+    again = {(r["key"], r["id"], r["rank"])
+             for r in cap_per_key(df.repartition(13), "key", order,
+                                  n=7, id_col="id", salts=8).collect()}
+    assert again == rows
+
+
+def test_token_budget_sample_is_maximal_hash_prefix(spark):
+    """The kept set per key is exactly the maximal prefix of the
+    seeded-hash order whose running weight fits the budget — verified
+    against an independent Python recomputation of the same md5-derived
+    hash, and stable under repartitioning."""
+    import hashlib
+    from ir_index_construction_spark.operators.sampling import (
+        token_budget_sample)
+
+    seed, budget = 47, 50
+    df = spark.range(0, 300).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("key"),
+        (F.pmod(F.col("id") * 13 + 5, F.lit(9)) + 1).alias("w"))
+    got = token_budget_sample(df, "key", "w", "id", budget, seed=seed)
+    rows = got.collect()
+    assert all(r["cum_weight"] <= budget for r in rows)
+
+    def h64(i):
+        return int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:15], 16)
+
+    want = set()
+    data = [(r["id"], r["key"], r["w"]) for r in df.collect()]
+    for key in {k for _, k, _ in data}:
+        members = sorted(((h64(i), i, w) for i, k, w in data if k == key))
+        cum = 0
+        for _, i, w in members:
+            cum += w
+            if cum > budget:
+                break
+            want.add(i)
+    assert {r["id"] for r in rows} == want
+    again = token_budget_sample(df.repartition(7), "key", "w", "id",
+                                budget, seed=seed)
+    assert {r["id"] for r in again.collect()} == want
+
+
 def test_pii_detect_and_redact(spark):
     from ir_index_construction_spark.operators.pii import (
         pii_signals, redact_pii)
