@@ -348,3 +348,104 @@ class Catalog:
                 del tables[table]
                 self._commit_catalog(tables, cat)
         shutil.rmtree(self._tdir(table), ignore_errors=True)
+
+    # ---- snapshot maintenance (compact / expire / vacuum) ----
+    def compact(self, spark: SparkSession, table: str,
+                target_file_bytes: int = 128 << 20,
+                snapshot: dict | None = None) -> dict:
+        """Rewrite the table's current snapshot into right-sized files
+        and commit the rewrite as a ``compact`` operation — same rows,
+        fewer files.  The streaming paths commit one file set per
+        micro-batch, so a long-running incremental index accretes the
+        classic small-files problem; compaction is the maintenance job
+        that keeps scan task counts sane (one task per ~target bytes,
+        not one per micro-batch).
+
+        Optimistic concurrency: the rewrite runs lock-free from a fixed
+        snapshot; under the commit lock the table must STILL be at that
+        snapshot, otherwise a writer landed mid-rewrite and the staged
+        files are unlinked and ``CommitConflict`` raised (retry re-reads
+        the new state) — a lost-update of the interleaved append is
+        impossible.  Mirrors Iceberg's rewrite-files validation."""
+        snap = snapshot or self.current_snapshot(table)
+        if snap is None:
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        if not snap["files"]:
+            return snap
+        total = sum(os.path.getsize(os.path.join(self._tdir(table), f))
+                    for f in snap["files"])
+        nfiles = max(1, -(-total // target_file_bytes))
+        df = self.read(spark, table, snap).repartition(nfiles)
+        files = self._materialize(df, table)
+        with self._commit_lock():
+            cat = self._catalog_current()
+            if not cat or cat["tables"].get(table) != snap["version"]:
+                for f in files:
+                    with contextlib.suppress(OSError):
+                        os.unlink(os.path.join(self._tdir(table), f))
+                raise CommitConflict(
+                    f"table {table} moved past v{snap['version']} during "
+                    "compaction; staged rewrite discarded — retry against "
+                    "the current snapshot")
+            new = self._write_table_snapshot(
+                table, files, snap["schema"], snap, "compact")
+            tables = dict(cat["tables"])
+            tables[table] = new["version"]
+            self._commit_catalog(tables, cat)
+            return new
+
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> list:
+        """Drop snapshot manifests older than the newest ``keep_last``
+        (the committed snapshot is always retained).  Returns expired
+        version numbers.  Data files those snapshots referenced become
+        unreferenced and are reclaimed by ``vacuum``; catalog versions
+        older than the expiry can no longer time-travel this table —
+        the same trade Iceberg's expire_snapshots makes."""
+        with self._commit_lock():
+            cat = self._catalog_current()
+            cur = cat["tables"].get(table) if cat else None
+            hist = self.history(table)
+            keep = {s["version"] for s in hist[-keep_last:]} if keep_last \
+                else set()
+            if cur is not None:
+                keep.add(cur)
+            expired = []
+            sdir = os.path.join(self._tdir(table), "snapshots")
+            for s in hist:
+                if s["version"] not in keep:
+                    with contextlib.suppress(OSError):
+                        os.unlink(os.path.join(sdir, f"v{s['version']}.json"))
+                        expired.append(s["version"])
+            return expired
+
+    def vacuum(self, table: str, grace_seconds: float = 86400.0) -> list:
+        """Delete data files referenced by NO retained snapshot, plus
+        staging directories left by crashed writers.  Only entries
+        whose mtime is at least ``grace_seconds`` old are touched:
+        ``_materialize`` stages files lock-free BEFORE its transaction
+        commits, so a freshly-written unreferenced file may belong to
+        an in-flight commit — the grace window (Iceberg's
+        remove-orphan-files default is 3 days) makes vacuum safe to run
+        beside live writers.  Returns the removed relative paths."""
+        with self._commit_lock():
+            referenced: set = set()
+            for s in self.history(table):
+                referenced.update(s["files"])
+            ddir = os.path.join(self._tdir(table), "data")
+            if not os.path.isdir(ddir):
+                return []
+            removed, now = [], time.time()
+            for name in sorted(os.listdir(ddir)):
+                rel = os.path.join("data", name)
+                path = os.path.join(ddir, name)
+                if rel in referenced:
+                    continue
+                with contextlib.suppress(OSError):
+                    if now - os.path.getmtime(path) < grace_seconds:
+                        continue
+                    if os.path.isdir(path):
+                        shutil.rmtree(path, ignore_errors=True)
+                    else:
+                        os.unlink(path)
+                    removed.append(rel)
+            return removed

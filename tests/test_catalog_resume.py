@@ -30,6 +30,93 @@ def test_catalog_snapshot_semantics(spark, tmp_path):
     assert len(cat.history("t")) == 3
 
 
+def test_compact_preserves_rows_and_reduces_files(spark, tmp_path):
+    """Compaction rewrites many small per-commit file sets into few
+    right-sized files: identical rows, recorded as a 'compact'
+    operation, and the pre-compact snapshot still time-travels."""
+    cat = Catalog(str(tmp_path / "cat"))
+    for i in range(5):
+        cat.append(spark.range(i * 10, (i + 1) * 10)
+                   .withColumnRenamed("id", "x").repartition(3), "t")
+    before = cat.current_snapshot("t")
+    assert len(before["files"]) >= 10
+    rows_before = sorted(r["x"] for r in cat.read(spark, "t").collect())
+
+    new = cat.compact(spark, "t", target_file_bytes=1 << 30)
+    assert new["operation"] == "compact"
+    assert len(new["files"]) == 1
+    assert sorted(r["x"] for r in cat.read(spark, "t").collect()) \
+        == rows_before == list(range(50))
+    # time travel to the fragmented snapshot still works
+    assert sorted(r["x"] for r in
+                  cat.read(spark, "t", snapshot=before).collect()) \
+        == rows_before
+
+
+def test_compact_conflict_on_concurrent_append(spark, tmp_path):
+    """An append landing while a compaction rewrites must never be
+    lost: the compaction validates its base snapshot under the commit
+    lock, discards its staged files, and raises CommitConflict."""
+    import os
+
+    from ir_index_construction_spark.sources.catalog import CommitConflict
+
+    cat = Catalog(str(tmp_path / "cat"))
+    cat.write(spark.range(20).withColumnRenamed("id", "x"), "t")
+    base = cat.current_snapshot("t")
+    cat.append(spark.range(20, 30).withColumnRenamed("id", "x"), "t")
+
+    with pytest.raises(CommitConflict):
+        cat.compact(spark, "t", target_file_bytes=1 << 30, snapshot=base)
+    # nothing lost, staged rewrite cleaned up: on-disk files are
+    # exactly the referenced ones
+    assert cat.read(spark, "t").count() == 30
+    referenced = {f for s in cat.history("t") for f in s["files"]}
+    on_disk = {os.path.join("data", n)
+               for n in os.listdir(str(tmp_path / "cat" / "t" / "data"))}
+    assert on_disk == referenced
+
+
+def test_expire_and_vacuum_reclaim_unreferenced_files(spark, tmp_path):
+    """vacuum only deletes files no RETAINED snapshot references and
+    honors the in-flight-writer grace window; expire_snapshots is what
+    releases historical files for reclamation."""
+    import os
+
+    cat = Catalog(str(tmp_path / "cat"))
+    for i in range(3):
+        cat.append(spark.range(i * 10, (i + 1) * 10)
+                   .withColumnRenamed("id", "x"), "t")
+    cat.compact(spark, "t", target_file_bytes=1 << 30)
+    ddir = str(tmp_path / "cat" / "t" / "data")
+
+    # pre-compact files are still referenced by historical snapshots
+    assert cat.vacuum("t", grace_seconds=0.0) == []
+
+    # a crashed writer's staging dir and a stray unreferenced file are
+    # orphans — protected inside the grace window, reclaimed outside it
+    os.makedirs(os.path.join(ddir, "stage-deadbeef"))
+    with open(os.path.join(ddir, "stage-deadbeef", "part-0.parquet"), "w"):
+        pass
+    with open(os.path.join(ddir, "11112222-orphan.parquet"), "w"):
+        pass
+    assert cat.vacuum("t", grace_seconds=3600.0) == []
+    removed = cat.vacuum("t", grace_seconds=0.0)
+    assert sorted(removed) == ["data/11112222-orphan.parquet",
+                               "data/stage-deadbeef"]
+
+    expired = cat.expire_snapshots("t", keep_last=1)
+    assert len(expired) == 3          # the three appends; compact kept
+    removed = cat.vacuum("t", grace_seconds=0.0)
+    assert len(removed) >= 3          # their file sets reclaimed
+    assert sorted(r["x"] for r in cat.read(spark, "t").collect()) \
+        == list(range(30))
+    # disk now holds exactly the current snapshot's files
+    referenced = set(cat.current_snapshot("t")["files"])
+    on_disk = {os.path.join("data", n) for n in os.listdir(ddir)}
+    assert on_disk == referenced
+
+
 @pytest.fixture(scope="module")
 def full_build(spark, documents_df, tmp_path_factory):
     """Single-shot (no fault) build — the equality reference."""
