@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import contextlib
 import datetime as _dt
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -38,9 +39,27 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators.corpus import dedup_assign_ids, defrag_and_filter
 from ..operators.postings import docs_table, postings_from_tokenized, tokenize
 from ..schemas import DOCUMENTS, STREAM_COMMITS
-from ..sources.catalog import Catalog
+from ..sources.catalog import Catalog, CommitConflict
 
 BATCH_ID_BASE = 1 << 40
+
+
+def _maybe_compact(spark: SparkSession, catalog: Catalog,
+                   max_files: int) -> None:
+    """Keep the stream's accreting tables scan-friendly: when a table's
+    current snapshot exceeds ``max_files`` data files, rewrite it with
+    ``Catalog.compact``.  Each micro-batch commit adds one file set, so
+    without this a month-long drain yields one scan task per batch; with
+    it the file count saw-tooths around the threshold and scan task
+    counts stay proportional to data size, not to stream age.  Runs
+    AFTER the batch's exactly-once commit — compaction is pure rewrite,
+    so a crash here loses no data (staged files are vacuumed later) and
+    a concurrent writer landing mid-rewrite just skips this cycle."""
+    for table in ("postings", "docs"):
+        snap = catalog.current_snapshot(table)
+        if snap is not None and len(snap["files"]) > max_files:
+            with contextlib.suppress(CommitConflict):
+                catalog.compact(spark, table)
 
 
 def _batch_committed(spark: SparkSession, catalog: Catalog,
@@ -99,15 +118,20 @@ def process_stream_batch(spark: SparkSession, catalog: Catalog,
 
 def incremental_index_update(spark: SparkSession, catalog: Catalog,
                              input_dir: str, checkpoint_dir: str,
-                             stream_id: str | None = None):
+                             stream_id: str | None = None,
+                             compact_max_files: int | None = None):
     """Drain new corpus files from input_dir into postings/docs.
     Returns the finished StreamingQuery (availableNow trigger).
     ``stream_id`` defaults to the checkpoint path — the identity the
-    batch_id sequence is scoped to."""
+    batch_id sequence is scoped to.  ``compact_max_files`` (optional)
+    auto-compacts postings/docs whenever a snapshot exceeds that many
+    data files, bounding scan task counts over a long-lived stream."""
     sid = stream_id or checkpoint_dir
 
     def process_batch(batch_df: DataFrame, batch_id: int):
         process_stream_batch(spark, catalog, sid, batch_df, batch_id)
+        if compact_max_files is not None:
+            _maybe_compact(spark, catalog, compact_max_files)
 
     stream = (
         spark.readStream.schema(DOCUMENTS).parquet(input_dir)

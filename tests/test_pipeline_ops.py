@@ -649,6 +649,42 @@ def test_streaming_drain_matches_batch_build(spark, tmp_path):
     built.unpersist()
 
 
+def test_streaming_auto_compact_bounds_file_count(spark, tmp_path):
+    """A long-lived drain with compact_max_files keeps postings/docs at
+    a bounded data-file count (one scan task per ~target bytes, not one
+    per micro-batch) while preserving the exact logical index content
+    and the exactly-once ledger."""
+    from ir_index_construction_spark.corpusgen import make_corpus
+    from ir_index_construction_spark.plans.build import build_tables
+    from ir_index_construction_spark.schemas import DOCUMENTS
+    from ir_index_construction_spark.sources.catalog import Catalog
+    from ir_index_construction_spark.streaming import incremental_index_update
+
+    rows = make_corpus(80)
+    cat = Catalog(str(tmp_path / "ac_cat"))
+    inp = tmp_path / "ac_in"
+    for i in range(4):                       # 4 drains = 4 micro-batches
+        spark.createDataFrame(rows[i * 20:(i + 1) * 20], DOCUMENTS) \
+            .write.parquet(str(inp / f"f{i}"))
+        incremental_index_update(spark, cat, str(inp) + "/*",
+                                 str(tmp_path / "ac_ck"),
+                                 compact_max_files=2)
+
+    for table in ("postings", "docs"):
+        snap = cat.current_snapshot(table)
+        assert len(snap["files"]) <= 2, (table, snap["files"])
+        assert any(s["operation"] == "compact" for s in cat.history(table))
+    assert cat.read(spark, "stream_commits").count() == 4
+
+    built = build_tables(spark.createDataFrame(rows, DOCUMENTS))
+    keyed = lambda p, d: sorted(  # noqa: E731
+        (r["term"], r["url"], r["tf"])
+        for r in p.join(d, "doc_id").select("term", "url", "tf").collect())
+    assert keyed(cat.read(spark, "postings"), cat.read(spark, "docs")) \
+        == keyed(built.postings, built.docs)
+    built.unpersist()
+
+
 def test_streaming_windowed_agg_watermark_semantics(spark, tmp_path):
     """Append-mode windowed counts with a 10-minute watermark: a window
     is emitted EXACTLY ONCE, when the watermark (max seen event time -
