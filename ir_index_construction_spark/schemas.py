@@ -140,6 +140,13 @@ EVENTS = StructType([
 # Written in the SAME transaction as the batch's postings/docs appends,
 # so "batch committed" and "batch data visible" are one atomic fact —
 # foreachBatch replays after a crash check it and no-op.
+TOMBSTONES = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("url", StringType(), False),
+    StructField("requested_at", TimestampType(), False),
+    StructField("reason", StringType(), True),
+])
+
 STREAM_COMMITS = StructType([
     StructField("stream_id", StringType(), False),
     StructField("batch_id", LongType(), False),

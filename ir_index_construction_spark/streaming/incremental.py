@@ -86,7 +86,11 @@ def process_stream_batch(spark: SparkSession, catalog: Catalog,
         return                                  # replayed batch: no-op
     cleaned = defrag_and_filter(batch_df)
     if catalog.table_exists("docs"):
-        existing = catalog.read(spark, "docs").select("url")
+        # dedup against LIVE docs only: a tombstoned (taken-down) url
+        # whose page is re-crawled later is legitimately re-indexed
+        # under a fresh doc_id
+        from ..plans.maintenance import live_docs
+        existing = live_docs(spark, catalog).select("url")
         cleaned = cleaned.join(existing, "url", "left_anti")
     base = BATCH_ID_BASE * (batch_id + 1)
     # first-occurrence dedup + dense batch-local url rank in ONE

@@ -685,6 +685,76 @@ def test_streaming_auto_compact_bounds_file_count(spark, tmp_path):
     built.unpersist()
 
 
+def test_tombstone_purge_lifecycle(spark, tmp_path):
+    """Takedown/GDPR document removal: tombstoning masks docs AND their
+    postings from the live views without rewriting data; a re-crawled
+    tombstoned url re-indexes under a fresh id; purge physically
+    rewrites both tables and clears tombstones in ONE atomic catalog
+    version (a fault in the torn window leaves the old state intact)."""
+    from ir_index_construction_spark.corpusgen import make_corpus
+    from ir_index_construction_spark.plans.maintenance import (
+        live_docs, live_postings, purge_tombstones, tombstone_urls)
+    from ir_index_construction_spark.schemas import DOCUMENTS
+    from ir_index_construction_spark.sources.catalog import Catalog
+    from ir_index_construction_spark.streaming import incremental_index_update
+
+    rows = make_corpus(40)
+    cat = Catalog(str(tmp_path / "tb_cat"))
+    inp = tmp_path / "tb_in"
+    spark.createDataFrame(rows, DOCUMENTS).write.parquet(str(inp / "f0"))
+    incremental_index_update(spark, cat, str(inp) + "/*",
+                             str(tmp_path / "tb_ck"))
+    docs0 = {r["url"]: r["doc_id"]
+             for r in cat.read(spark, "docs").collect()}
+    victims = sorted(docs0)[:2]
+    victim_ids = {docs0[u] for u in victims}
+
+    assert tombstone_urls(spark, cat, victims) == 2
+    assert tombstone_urls(spark, cat, victims) == 0     # idempotent
+    live = {r["url"] for r in live_docs(spark, cat).collect()}
+    assert not (set(victims) & live)
+    assert cat.read(spark, "docs").count() == len(docs0)   # merge-on-read
+    assert live_postings(spark, cat).filter(
+        F.col("doc_id").isin(list(victim_ids))).count() == 0
+    assert cat.read(spark, "postings").filter(
+        F.col("doc_id").isin(list(victim_ids))).count() > 0
+
+    # re-crawl of a tombstoned url re-indexes under a fresh doc_id
+    recrawl = [r for r in rows if r["url"] == victims[0]]
+    spark.createDataFrame(recrawl, DOCUMENTS).write.parquet(str(inp / "f1"))
+    incremental_index_update(spark, cat, str(inp) + "/*",
+                             str(tmp_path / "tb_ck"))
+    fresh = {r["doc_id"] for r in live_docs(spark, cat)
+             .filter(F.col("url") == victims[0]).collect()}
+    assert len(fresh) == 1 and not (fresh & victim_ids)
+
+    # torn-window fault: purge must be all-or-nothing
+    class Boom(Exception):
+        pass
+
+    def fault():
+        raise Boom
+
+    with pytest.raises(Boom):
+        purge_tombstones(spark, cat, fault=fault)
+    assert cat.read(spark, "doc_tombstones").count() == 2
+    assert cat.read(spark, "docs").count() == len(docs0) + 1
+
+    before = cat._catalog_current()["version"]
+    assert purge_tombstones(spark, cat) == 2
+    assert cat._catalog_current()["version"] == before + 1   # one commit
+    assert cat.read(spark, "doc_tombstones").count() == 0
+    assert cat.read(spark, "docs").filter(
+        F.col("doc_id").isin(list(victim_ids))).count() == 0
+    assert cat.read(spark, "postings").filter(
+        F.col("doc_id").isin(list(victim_ids))).count() == 0
+    # the re-crawled doc and all untouched docs survived the purge;
+    # the purged-never-recrawled url is gone for good
+    assert {r["url"] for r in cat.read(spark, "docs").collect()} \
+        == set(docs0) - {victims[1]}
+    assert purge_tombstones(spark, cat) == 0
+
+
 def test_streaming_windowed_agg_watermark_semantics(spark, tmp_path):
     """Append-mode windowed counts with a 10-minute watermark: a window
     is emitted EXACTLY ONCE, when the watermark (max seen event time -
