@@ -119,18 +119,31 @@ class _TermCursor:
                 np.concatenate(dls), np.concatenate(imps))
 
 
+def _as_exclude_array(exclude_ids) -> np.ndarray | None:
+    if exclude_ids is None:
+        return None
+    arr = np.asarray(sorted(exclude_ids), dtype=np.int64)
+    return arr if len(arr) else None
+
+
 def make_shard_scorer(term_meta: dict, ordered_terms: list, k: int,
                       is_bool: bool, avgdl: float, bm25: BM25Config,
-                      stats: dict | None = None, weighted: bool = False):
+                      stats: dict | None = None, weighted: bool = False,
+                      exclude_ids=None):
     """term_meta: {term: (mult, idf)}; ordered_terms: distinct terms in
     query order (float-sum order contract with the oracle).  `stats` is a
     local-mode instrumentation dict (blocks_total/blocks_decoded).
     weighted=True scores BM25 x tag-importance (contribution x imp/10,
     the reference's tf-idf x s semantics — searcher.py:123-143 — on the
     engine's BM25 base); block pruning then uses the per-block
-    block_max_wscore bound, which is exact for the weighted score."""
+    block_max_wscore bound, which is exact for the weighted score.
+    exclude_ids: deletion set (tombstoned doc_ids) consulted DURING
+    scoring — a deleted doc never enters a heap, and the seed threshold
+    is computed over surviving docs only, so pruning can never cut a
+    block whose best live doc belongs in the top k."""
     k1, b = bm25.k1, bm25.b
     n_required = len(ordered_terms)
+    exclude = _as_exclude_array(exclude_ids)
 
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         cursors = {}
@@ -153,7 +166,10 @@ def make_shard_scorer(term_meta: dict, ordered_terms: list, k: int,
                 if weighted:
                     w = w * (i.astype(np.float64) / 10.0)
                 s = (mult * idf) * w
-                theta = float(np.partition(s, len(s) - k)[len(s) - k])
+                if exclude is not None:
+                    s = s[~np.isin(d, exclude)]
+                if len(s) >= k:
+                    theta = float(np.partition(s, len(s) - k)[len(s) - k])
 
         # ---- block pruning via interval coverage sweep ----
         selections = {term: None for term in cursors}
@@ -192,8 +208,12 @@ def make_shard_scorer(term_meta: dict, ordered_terms: list, k: int,
             w = bm25_tf_norm(t, l, avgdl, k1, b)
             if weighted:
                 w = w * (i.astype(np.float64) / 10.0)
+            s = (mult * idf) * w
+            if exclude is not None:
+                keep = ~np.isin(d, exclude)
+                d, s = d[keep], s[keep]
             all_docs.append(d)
-            all_scores.append((mult * idf) * w)
+            all_scores.append(s)
         docs_cat = np.concatenate(all_docs)
         if len(docs_cat) == 0:
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
@@ -221,7 +241,8 @@ def wand_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
               query: str, n_docs: int, avgdl: float, k: int = 10,
               bm25: BM25Config = BM25Config(), weighted: bool = False,
               pre_parsed: tuple | None = None,
-              idf_cache: dict | None = None) -> DataFrame:
+              idf_cache: dict | None = None,
+              exclude_ids=None) -> DataFrame:
     """TOPK (rank, doc_id, url, score) via the compressed index.
 
     Plan: term-filtered scan of the index (parquet row-group pruning on
@@ -234,7 +255,17 @@ def wand_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
     weighted=True ranks by BM25 x tag-importance (imp/10 multiplier, the
     reference's searcher.py:123-143 zone semantics on the BM25 base).
     pre_parsed=(terms, is_bool) bypasses parse_query (e.g. for indexes
-    built without stemming, where the query must not be stemmed)."""
+    built without stemming, where the query must not be stemmed).
+
+    exclude_ids: optional deletion set (tombstoned doc_ids, see
+    plans/maintenance.py) applied DURING shard scoring — the
+    merge-on-read query path between purge cycles.  Bounded by takedown
+    volume, it ships to executors inside the scorer closure (a
+    deletion-bitmap analogue); correct under-k backfill is preserved
+    because exclusion happens before per-shard top-k selection, and the
+    idf/avgdl corpus stats intentionally stay those of the committed
+    index (matching a rebuilt-minus-deletions index requires the
+    rebuild)."""
     spark = index.sparkSession
     terms, is_bool = pre_parsed if pre_parsed is not None else parse_query(query)
     if not terms or n_docs == 0 or avgdl == 0:
@@ -251,7 +282,7 @@ def wand_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
 
     rows = index.filter(F.col("term").isin(ordered))
     scorer = make_shard_scorer(term_meta, ordered, k, is_bool, avgdl, bm25,
-                               weighted=weighted)
+                               weighted=weighted, exclude_ids=exclude_ids)
     local = rows.groupBy("shard").applyInPandas(scorer, _LOCAL_SCHEMA)
     topk = local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
     return (
@@ -267,7 +298,8 @@ _BATCH_LOCAL_SCHEMA = "query_id string, doc_id long, score double"
 
 
 def make_batch_shard_scorer(specs: list, k: int, avgdl: float,
-                            bm25: BM25Config, weighted: bool = False):
+                            bm25: BM25Config, weighted: bool = False,
+                            exclude_ids=None):
     """Score a whole query WORKLOAD in one pass over each shard.
 
     specs: [(query_id, ordered_terms, {term: (mult, idf)}, is_bool,
@@ -282,6 +314,7 @@ def make_batch_shard_scorer(specs: list, k: int, avgdl: float,
     single-query scorer (query-term-ordered concat -> bincount), so each
     query's rows are bit-identical to its wand_topk() output."""
     k1, b = bm25.k1, bm25.b
+    exclude = _as_exclude_array(exclude_ids)
 
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         decoded = {}
@@ -291,6 +324,9 @@ def make_batch_shard_scorer(specs: list, k: int, avgdl: float,
             w = bm25_tf_norm(t, l, avgdl, k1, b)
             if weighted:
                 w = w * (i.astype(np.float64) / 10.0)
+            if exclude is not None:
+                keep = ~np.isin(d, exclude)
+                d, w = d[keep], w[keep]
             decoded[term] = (d, w)
 
         out_q, out_d, out_s = [], [], []
@@ -330,7 +366,8 @@ def wand_topk_batch(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
                     queries: dict, n_docs: int, avgdl: float, k: int = 10,
                     bm25: BM25Config = BM25Config(), weighted: bool = False,
                     pre_parsed: dict | None = None,
-                    idf_cache: dict | None = None) -> DataFrame:
+                    idf_cache: dict | None = None,
+                    exclude_ids=None) -> DataFrame:
     """Evaluate a query WORKLOAD in one Spark job: (query_id, rank,
     doc_id, url, score), rank-partitioned per query, each query's rows
     bit-identical to its single-query wand_topk() result.
@@ -379,7 +416,8 @@ def wand_topk_batch(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
 
     needed = sorted({t for _, ordered, *_ in specs for t in ordered})
     rows = index.filter(F.col("term").isin(needed))
-    scorer = make_batch_shard_scorer(specs, k, avgdl, bm25, weighted=weighted)
+    scorer = make_batch_shard_scorer(specs, k, avgdl, bm25, weighted=weighted,
+                                     exclude_ids=exclude_ids)
     local = rows.groupBy("shard").applyInPandas(scorer, _BATCH_LOCAL_SCHEMA)
     win = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc())

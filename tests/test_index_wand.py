@@ -396,3 +396,39 @@ def test_query_service_reloads_on_catalog_advance(spark, tmp_path):
     txn.commit()
     r2 = svc.run("foo", 10, "exhaustive", False).collect()
     assert r2[0]["score"] > s1, "stale idf served after catalog advance"
+
+
+def test_wand_exclude_ids_backfills_and_preserves_scores(built, index_df):
+    """Delete-aware querying (plans/maintenance.py tombstones): with the
+    top docs excluded, WAND must return the NEXT best docs with
+    unchanged scores — equivalent to dropping the excluded ids from a
+    deep unexcluded run.  Exercises OR, duplicate-term, and boolean
+    queries, so both the pruned (seed-threshold) and AND paths must
+    respect the deletion set before per-shard top-k selection."""
+    from ir_index_construction_spark.operators.topk import wand_topk_batch
+
+    queries = ["machine learning", "learning machine learning",
+               "machine AND learning", "commoncrawl"]
+    for q in queries:
+        deep = wand_topk(index_df, built.dictionary, built.docs, q,
+                         built.n_docs, built.avgdl, k=50) \
+            .orderBy("rank").collect()
+        if len(deep) < 5:
+            continue
+        dead = {r["doc_id"] for r in deep[:3]}
+        expected = [(r["doc_id"], r["url"], r["score"])
+                    for r in deep if r["doc_id"] not in dead][:10]
+        got = wand_topk(index_df, built.dictionary, built.docs, q,
+                        built.n_docs, built.avgdl, k=10,
+                        exclude_ids=dead).orderBy("rank").collect()
+        assert [(r["doc_id"], r["url"], r["score"]) for r in got] \
+            == expected, q
+        assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+        # batch path: same exclusion, bit-identical to the single path
+        batch = wand_topk_batch(index_df, built.dictionary, built.docs,
+                                {"q": q}, built.n_docs, built.avgdl, k=10,
+                                exclude_ids=dead) \
+            .orderBy("rank").collect()
+        assert [(r["doc_id"], r["score"]) for r in batch] \
+            == [(r["doc_id"], r["score"]) for r in got], q
