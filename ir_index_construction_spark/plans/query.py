@@ -101,6 +101,7 @@ def bm25_topk_exhaustive(
     weighted: bool = False,
     pre_parsed: tuple | None = None,
     idf_cache: dict | None = None,
+    exclude_ids=None,
 ) -> DataFrame:
     """Returns TOPK (rank, doc_id, url, score).
 
@@ -109,7 +110,10 @@ def bm25_topk_exhaustive(
     (searcher.py:123-143) on the engine's BM25 base.  pre_parsed=(terms,
     is_bool) bypasses parse_query for unstemmed indexes.  idf_cache: a
     caller-owned dict for a long-lived query service — repeat terms skip
-    the dictionary-lookup job (see query_term_idf)."""
+    the dictionary-lookup job (see query_term_idf).  exclude_ids:
+    deletion set (tombstoned doc_ids) filtered out with a broadcast
+    anti-join before scoring — merge-on-read delete semantics between
+    purge cycles, same contract as wand_topk(exclude_ids=)."""
     spark = postings.sparkSession
     terms, is_bool = pre_parsed if pre_parsed is not None else parse_query(query)
     if not terms or n_docs == 0 or avgdl == 0:
@@ -146,6 +150,10 @@ def bm25_topk_exhaustive(
         postings.filter(F.col("term").isin(present))
         .join(F.broadcast(terms_df), "term", "inner")
     )
+    if exclude_ids:
+        dead = spark.createDataFrame(
+            [(int(i),) for i in sorted(exclude_ids)], "doc_id long")
+        matches = matches.join(F.broadcast(dead), "doc_id", "left_anti")
     scores = matches.groupBy("doc_id").agg(
         F.sum(contrib).alias("score"),
         F.count("*").alias("_nt"),        # (term,doc) unique -> distinct terms

@@ -432,3 +432,50 @@ def test_wand_exclude_ids_backfills_and_preserves_scores(built, index_df):
             .orderBy("rank").collect()
         assert [(r["doc_id"], r["score"]) for r in batch] \
             == [(r["doc_id"], r["score"]) for r in got], q
+
+
+def test_query_service_applies_tombstones(spark, tmp_path):
+    """A tombstone commit behind the running service must take effect on
+    the next query (snapshot advance reloads the deletion set), and the
+    purge that clears tombstones must restore nothing deleted."""
+    import importlib.util
+    from pathlib import Path
+
+    from ir_index_construction_spark.plans.maintenance import (
+        purge_tombstones, tombstone_urls)
+    from ir_index_construction_spark.sources.catalog import Catalog
+
+    spec = importlib.util.spec_from_file_location(
+        "submit_query_mod2",
+        Path(__file__).resolve().parent.parent / "tools" / "submit_query.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    cat = Catalog(str(tmp_path / "cat_tomb"))
+    txn = cat.transaction()
+    txn.write(spark.createDataFrame(
+        [("foo", 1, 5, 10, 4), ("foo", 2, 2, 10, 4)],
+        "term string, doc_id long, tf int, imp int, dl int"), "postings")
+    txn.write(spark.createDataFrame(
+        [(1, "u1", 4), (2, "u2", 4)],
+        "doc_id long, url string, doc_len int"), "docs")
+    txn.write(spark.createDataFrame(
+        [("foo", 2, 7)], "term string, df long, cf long"), "dictionary")
+    txn.write(spark.createDataFrame(
+        [(2, 4.0, 1)], "n_docs long, avgdl double, n_terms long"), "stats")
+    txn.commit()
+
+    svc = m.QueryService(spark, cat)
+    r1 = svc.run("foo", 10, "exhaustive", False).orderBy("rank").collect()
+    assert [r["doc_id"] for r in r1] == [1, 2]    # tf 5 beats tf 2
+
+    assert tombstone_urls(spark, cat, ["u1"]) == 1
+    r2 = svc.run("foo", 10, "exhaustive", False).orderBy("rank").collect()
+    assert [(r["rank"], r["doc_id"]) for r in r2] == [(1, 2)]
+    # the survivor's score is unchanged by the deletion (same stats)
+    assert r2[0]["score"] == r1[1]["score"]
+
+    assert purge_tombstones(spark, cat) == 1
+    r3 = svc.run("foo", 10, "exhaustive", False).orderBy("rank").collect()
+    assert [(r["rank"], r["doc_id"]) for r in r3] == [(1, 2)]
+    assert svc._f["exclude_ids"] is None          # set cleared post-purge

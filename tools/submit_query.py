@@ -63,6 +63,16 @@ class QueryService:
             for t in ("index", "postings"):
                 if self.cat.table_exists(t):
                     self._f[t] = self.cat.read(self.spark, t)
+            # tombstoned doc_ids (plans/maintenance.py): bounded by
+            # takedown volume, loaded once per snapshot, applied to
+            # every query until a purge commits a new snapshot
+            self._f["exclude_ids"] = None
+            if self.cat.table_exists("doc_tombstones"):
+                ids = frozenset(
+                    r["doc_id"] for r in
+                    self.cat.read(self.spark, "doc_tombstones")
+                    .select("doc_id").collect())
+                self._f["exclude_ids"] = ids or None
         return self._f, self._tsc.for_snapshot(cid)
 
     def run(self, query: str, k: int, mode: str, weighted: bool):
@@ -74,11 +84,13 @@ class QueryService:
         if mode == "wand":
             return wand_topk(f["index"], f["dictionary"], f["docs"],
                              query, f["n_docs"], f["avgdl"], k=k,
-                             weighted=weighted, idf_cache=idf_cache)
+                             weighted=weighted, idf_cache=idf_cache,
+                             exclude_ids=f["exclude_ids"])
         return bm25_topk_exhaustive(f["postings"], f["dictionary"],
                                     f["docs"], query, f["n_docs"],
                                     f["avgdl"], k=k, weighted=weighted,
-                                    idf_cache=idf_cache)
+                                    idf_cache=idf_cache,
+                                    exclude_ids=f["exclude_ids"])
 
 
 def print_results(rows):
