@@ -149,13 +149,23 @@ def main():
     op_reps = int(os.environ.get("SPARK_GRAFT_OP_REPS", "2"))
 
     def timed(name, fn, reps=1):
-        best, out = None, None
+        # per-rep (wall, external_busy_cores) goes to extras["op_trace"]:
+        # when an op's number looks regressed, the trace says whether the
+        # engine or the hypervisor moved (same attribution the build and
+        # query phases already have)
+        best, out, trace = None, None, []
         for _ in range(max(1, reps)):
-            t0 = time.time()
+            busy0, cpu0, t0 = host_busy_sec(), proc_tree_cpu_sec(), time.time()
             out = fn()
             dt = time.time() - t0
+            ours = proc_tree_cpu_sec() - cpu0
+            ext = max(0.0, (host_busy_sec() - busy0 - ours) / max(dt, 1e-9))
+            # short ops can hit /proc/stat vs time.time() skew; a value
+            # above the core count is a sampling artifact, not a signal
+            trace.append([round(dt, 3), round(min(ext, os.cpu_count()), 2)])
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
+        extras.setdefault("op_trace", {})[name] = trace
         return out
 
     n_docs = corpus_size(sf_dir)
