@@ -30,10 +30,20 @@ from ..functions.codec import encode_chunks_many
 from ..schemas import INDEX, SALTED_RUNS
 
 
-def _with_keys(postings: DataFrame, cfg: IndexConfig) -> DataFrame:
+def _with_keys(postings: DataFrame, cfg: IndexConfig,
+               doc_base: int = 0, shard_offset: int = 0) -> DataFrame:
+    """doc_base/shard_offset: segment-local shard numbering for
+    incremental appends (streaming/incremental.py) — streamed doc_ids
+    start at a huge per-batch base, so ``doc_id // shard_size`` would
+    overflow int and scatter; instead the segment claims the next
+    contiguous shard range: shard = offset + (doc_id - base) // size.
+    Shard is only a locality/grouping key — real doc_ids live in the
+    encoded payloads — so any disjoint numbering is valid."""
     return (
         postings
-        .withColumn("shard", (F.col("doc_id") / F.lit(cfg.shard_size)).cast("int"))
+        .withColumn("shard", (
+            (F.col("doc_id") - F.lit(doc_base)) / F.lit(cfg.shard_size)
+            + F.lit(shard_offset)).cast("int"))
         .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets)).cast("int"))
         .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.salt_buckets)).cast("int"))
     )
@@ -113,9 +123,12 @@ def _make_encode_group(avgdl: float, bm25: BM25Config, cfg: IndexConfig):
 
 def build_compressed_index(postings: DataFrame, avgdl: float,
                            bm25: BM25Config = BM25Config(),
-                           cfg: IndexConfig = IndexConfig()) -> DataFrame:
-    """postings (term, doc_id, tf, imp, dl) -> INDEX DataFrame."""
-    keyed = _with_keys(postings, cfg)
+                           cfg: IndexConfig = IndexConfig(),
+                           doc_base: int = 0,
+                           shard_offset: int = 0) -> DataFrame:
+    """postings (term, doc_id, tf, imp, dl) -> INDEX DataFrame.
+    doc_base/shard_offset: see _with_keys (incremental segments)."""
+    keyed = _with_keys(postings, cfg, doc_base, shard_offset)
     runs = keyed.groupBy("shard", "tb", "salt").applyInPandas(
         _pack_runs, schema=SALTED_RUNS
     )

@@ -129,7 +129,7 @@ def _as_exclude_array(exclude_ids) -> np.ndarray | None:
 def make_shard_scorer(term_meta: dict, ordered_terms: list, k: int,
                       is_bool: bool, avgdl: float, bm25: BM25Config,
                       stats: dict | None = None, weighted: bool = False,
-                      exclude_ids=None):
+                      exclude_ids=None, bound_scale=None):
     """term_meta: {term: (mult, idf)}; ordered_terms: distinct terms in
     query order (float-sum order contract with the oracle).  `stats` is a
     local-mode instrumentation dict (blocks_total/blocks_decoded).
@@ -140,16 +140,38 @@ def make_shard_scorer(term_meta: dict, ordered_terms: list, k: int,
     exclude_ids: deletion set (tombstoned doc_ids) consulted DURING
     scoring — a deleted doc never enters a heap, and the seed threshold
     is computed over surviving docs only, so pruning can never cut a
-    block whose best live doc belongs in the top k."""
+    block whose best live doc belongs in the top k.
+
+    bound_scale: [(min_shard, max_shard, factor), ...] per index
+    SEGMENT (schemas.INDEX_SEGMENTS) — a segment's stored block-max
+    bounds were encoded at its build-time avgdl; when the corpus avgdl
+    has since grown, true scores can exceed them.  Multiplying a
+    segment's bounds by max(1, avgdl_now/built_avgdl) restores a valid
+    upper bound (w grows at most proportionally with avgdl), keeping
+    pruning lossless over incrementally appended segments.  Scores
+    themselves always use avgdl_now on the decoded tf/dl, so results
+    are identical to a full rebuild — only the pruning bound scales."""
     k1, b = bm25.k1, bm25.b
     n_required = len(ordered_terms)
     exclude = _as_exclude_array(exclude_ids)
+    scale_ranges = ([(int(lo), int(hi), float(s))
+                     for lo, hi, s in bound_scale if float(s) != 1.0]
+                    if bound_scale else None)
 
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        ub_scale = 1.0
+        if scale_ranges:
+            shard = int(pdf["shard"].iloc[0])
+            for lo, hi, s in scale_ranges:
+                if lo <= shard <= hi:
+                    ub_scale = s
+                    break
         cursors = {}
         for term, g in pdf.groupby("term", sort=False):
             mult, idf = term_meta[term]
-            cursors[term] = _TermCursor(g, mult * idf, weighted)
+            # the scale inflates ONLY the block upper bounds (_TermCursor
+            # applies weight to block_ub); decoded scores use mult*idf
+            cursors[term] = _TermCursor(g, mult * idf * ub_scale, weighted)
         if not cursors or (is_bool and len(cursors) < n_required):
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})
@@ -242,7 +264,7 @@ def wand_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
               bm25: BM25Config = BM25Config(), weighted: bool = False,
               pre_parsed: tuple | None = None,
               idf_cache: dict | None = None,
-              exclude_ids=None) -> DataFrame:
+              exclude_ids=None, bound_scale=None) -> DataFrame:
     """TOPK (rank, doc_id, url, score) via the compressed index.
 
     Plan: term-filtered scan of the index (parquet row-group pruning on
@@ -282,7 +304,8 @@ def wand_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
 
     rows = index.filter(F.col("term").isin(ordered))
     scorer = make_shard_scorer(term_meta, ordered, k, is_bool, avgdl, bm25,
-                               weighted=weighted, exclude_ids=exclude_ids)
+                               weighted=weighted, exclude_ids=exclude_ids,
+                               bound_scale=bound_scale)
     local = rows.groupBy("shard").applyInPandas(scorer, _LOCAL_SCHEMA)
     topk = local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
     return (

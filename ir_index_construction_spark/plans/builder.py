@@ -42,7 +42,8 @@ from ..operators.postings import (
     postings_from_tokenized,
     tokenize,
 )
-from ..schemas import CHECKPOINTS, LINEAGE, METRICS, SALTED_RUNS, INDEX
+from ..schemas import (CHECKPOINTS, INDEX, INDEX_SEGMENTS, LINEAGE, METRICS,
+                       SALTED_RUNS)
 from ..sources.catalog import Catalog
 
 
@@ -225,6 +226,29 @@ class IndexBuilder:
         finally:
             encoded.unpersist()
 
+    def _stage_segment(self, spark: SparkSession):
+        """Record the full build's shard range + build-time avgdl as ONE
+        index segment (index_segments row).  The query side inflates a
+        segment's block-max bounds by max(1, avgdl_now/built_avgdl), so
+        this row is what keeps WAND pruning lossless after incremental
+        appends (streaming/incremental.py) drift the corpus avgdl away
+        from what the bounds were encoded with."""
+        if 0 in self._done(spark, "segment"):
+            return
+        t0 = time.time()
+        stats = self.catalog.read(spark, "stats").collect()[0]
+        rng = self.catalog.read(spark, "index").agg(
+            F.min("shard").alias("lo"), F.max("shard").alias("hi")).collect()[0]
+        if rng["lo"] is None:
+            return
+        now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        txn = self.catalog.transaction()
+        txn.append_rows(spark, "index_segments", [
+            (self.build_id, int(rng["lo"]), int(rng["hi"]),
+             float(stats["avgdl"]), int(stats["n_docs"]), now)],
+            INDEX_SEGMENTS)
+        self._commit(txn, spark, "segment", 0, 0, 1, time.time() - t0)
+
     # ---- driver ----
     def build(self, documents: DataFrame | None = None) -> None:
         """Run all stages; resumable — committed partitions are skipped.
@@ -239,12 +263,13 @@ class IndexBuilder:
         self._stage_tokenize(spark)
         self._stage_stats(spark)
         self._stage_encode(spark)
+        self._stage_segment(spark)
 
     # ---- read side ----
     def tables(self, spark: SparkSession) -> dict:
         out = {}
         for t in ("docs", "postings", "dictionary", "stats", "index",
-                  "checkpoints", "lineage", "metrics"):
+                  "index_segments", "checkpoints", "lineage", "metrics"):
             if self.catalog.table_exists(t):
                 out[t] = self.catalog.read(spark, t)
         return out

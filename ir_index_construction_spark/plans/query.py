@@ -75,8 +75,13 @@ def query_term_idf(spark: SparkSession, dictionary: DataFrame, terms,
     looked_up: dict = {}
     if missing:
         tdf = spark.createDataFrame([(t,) for t in missing], "term string")
+        # sum over rows: an incrementally-maintained dictionary holds one
+        # delta row per segment per term (batches index disjoint docs, so
+        # per-segment dfs sum exactly to the global df); a full-build
+        # dictionary has one row per term and the sum is the identity
         rows = (dictionary.join(F.broadcast(tdf), "term", "inner")
-                .select("term", "df").collect())
+                .groupBy("term").agg(F.sum("df").alias("df"))
+                .collect())
         for r in rows:
             df = r["df"]
             looked_up[r["term"]] = (

@@ -140,6 +140,21 @@ EVENTS = StructType([
 # Written in the SAME transaction as the batch's postings/docs appends,
 # so "batch committed" and "batch data visible" are one atomic fact —
 # foreachBatch replays after a crash check it and no-op.
+# One row per compressed-index segment (a contiguous claimed shard
+# range encoded in one build pass at one avgdl).  Query-side block-max
+# bounds are inflated by max(1, avgdl_now/built_avgdl) per segment,
+# which keeps pruning lossless as avgdl drifts under incremental
+# appends (w = tf(k1+1)/(tf+k1(1-b)+k1*b*dl/a) grows with a but never
+# faster than proportionally, so the ratio is a valid bound factor).
+INDEX_SEGMENTS = StructType([
+    StructField("segment_id", StringType(), False),
+    StructField("min_shard", IntegerType(), False),
+    StructField("max_shard", IntegerType(), False),
+    StructField("built_avgdl", DoubleType(), False),
+    StructField("n_docs", LongType(), False),
+    StructField("committed_at", TimestampType(), False),
+])
+
 TOMBSTONES = StructType([
     StructField("doc_id", LongType(), False),
     StructField("url", StringType(), False),

@@ -36,9 +36,12 @@ import datetime as _dt
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..config import BM25Config, IndexConfig
+from ..operators.compress import build_compressed_index
 from ..operators.corpus import dedup_assign_ids, defrag_and_filter
-from ..operators.postings import docs_table, postings_from_tokenized, tokenize
-from ..schemas import DOCUMENTS, STREAM_COMMITS
+from ..operators.postings import (dictionary_table, docs_table,
+                                  postings_from_tokenized, tokenize)
+from ..schemas import DOCUMENTS, INDEX_SEGMENTS, STREAM_COMMITS
 from ..sources.catalog import Catalog, CommitConflict
 
 BATCH_ID_BASE = 1 << 40
@@ -74,14 +77,77 @@ def _batch_committed(spark: SparkSession, catalog: Catalog,
     )
 
 
+def _stage_index_segment(spark: SparkSession, catalog: Catalog, txn,
+                         postings: DataFrame, docs: DataFrame,
+                         n_new: int, doc_base: int,
+                         bm25: BM25Config, index_cfg: IndexConfig) -> None:
+    """Stage (into ``txn``) an incremental compressed-index SEGMENT for
+    one micro-batch, so the WAND-servable index stays current without a
+    rebuild: encode the batch's postings at the post-batch corpus avgdl
+    into the next contiguous claimed shard range, append the per-batch
+    dictionary delta (query_term_idf sums deltas per term — exact,
+    since batches index disjoint docs), overwrite the one-row stats
+    table, and append the segment's index_segments row carrying its
+    built_avgdl.  Query-time bound inflation (make_shard_scorer
+    bound_scale) keeps the OLDER segments' block-max bounds valid as
+    avgdl drifts, so segment-served top-k is rank- and score-identical
+    to a full rebuild (tests/test_incremental_segments.py).
+
+    Requires a base index built by plans/builder.IndexBuilder (which
+    records its own shard range in index_segments); assumes one writer
+    stream per catalog, which the (stream_id, batch_id) ledger already
+    implies."""
+    segs = catalog.read(spark, "index_segments")
+    next_shard = int(segs.agg(F.max("max_shard")).collect()[0][0]) + 1
+
+    # post-batch corpus stats computed with the SAME plan shape a full
+    # rebuild uses (F.avg over every doc_len) — identical float ops, so
+    # avgdl matches a rebuild bit-for-bit; an incremental
+    # old_avgdl*old_n + batch_sum shortcut would NOT (the division
+    # already rounded, so multiplying back drifts an ulp)
+    old_docs = catalog.read(spark, "docs").select("doc_len")
+    merged = old_docs.unionByName(docs.select("doc_len")).agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.avg("doc_len"), F.lit(0.0)).alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(merged["n_docs"]), float(merged["avgdl"])
+
+    delta = dictionary_table(postings)
+    n_new_terms = delta.select("term").join(
+        catalog.read(spark, "dictionary").select("term").distinct(),
+        "term", "left_anti").count()
+    old_stats = catalog.read(spark, "stats").collect()[0]
+
+    seg_index = build_compressed_index(
+        postings, avgdl, bm25, index_cfg,
+        doc_base=doc_base, shard_offset=next_shard)
+    txn.append(seg_index, "index")
+    txn.append(delta, "dictionary")
+    txn.write(spark.createDataFrame(
+        [(n_docs, avgdl, int(old_stats["n_terms"]) + n_new_terms)],
+        "n_docs long, avgdl double, n_terms long"), "stats")
+    max_shard = next_shard + max(0, (n_new - 1) // index_cfg.shard_size)
+    now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    txn.append_rows(spark, "index_segments", [
+        (f"seg-{doc_base}", next_shard, int(max_shard), avgdl,
+         n_docs - int(old_stats["n_docs"]), now)], INDEX_SEGMENTS)
+
+
 def process_stream_batch(spark: SparkSession, catalog: Catalog,
                          stream_id: str, batch_df: DataFrame, batch_id: int,
-                         fault: Callable | None = None) -> None:
+                         fault: Callable | None = None,
+                         maintain_index: bool = False,
+                         bm25: BM25Config = BM25Config(),
+                         index_cfg: IndexConfig = IndexConfig()) -> None:
     """One micro-batch: dedup against the live docs table, tokenize, and
     commit postings + docs + the stream_commits ledger row atomically.
     Module-level (not a closure) so crash/replay tests can drive it
     directly.  ``fault`` (tests only) runs just before the commit — the
-    torn window that must leave NO visible state."""
+    torn window that must leave NO visible state.  maintain_index=True
+    additionally appends a compressed-index SEGMENT for the batch (same
+    transaction — see _stage_index_segment), so WAND queries serve the
+    new docs without a rebuild; bm25/index_cfg must match the base
+    build's BM25Config (the bound semantics) — IndexConfig may differ,
+    chunk metadata is self-describing per row."""
     if _batch_committed(spark, catalog, stream_id, batch_id):
         return                                  # replayed batch: no-op
     cleaned = defrag_and_filter(batch_df)
@@ -108,10 +174,14 @@ def process_stream_batch(spark: SparkSession, catalog: Catalog,
             return
         now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
         txn = catalog.transaction()
-        txn.append(postings_from_tokenized(tok), "postings")
+        postings = postings_from_tokenized(tok)
+        txn.append(postings, "postings")
         txn.append(docs, "docs")
         txn.append_rows(spark, "stream_commits",
                         [(stream_id, batch_id, n_docs, now)], STREAM_COMMITS)
+        if maintain_index:
+            _stage_index_segment(spark, catalog, txn, postings, docs,
+                                 n_docs, base, bm25, index_cfg)
         if fault is not None:
             fault()
         txn.commit()
@@ -123,17 +193,25 @@ def process_stream_batch(spark: SparkSession, catalog: Catalog,
 def incremental_index_update(spark: SparkSession, catalog: Catalog,
                              input_dir: str, checkpoint_dir: str,
                              stream_id: str | None = None,
-                             compact_max_files: int | None = None):
+                             compact_max_files: int | None = None,
+                             maintain_index: bool = False,
+                             bm25: BM25Config = BM25Config(),
+                             index_cfg: IndexConfig = IndexConfig()):
     """Drain new corpus files from input_dir into postings/docs.
     Returns the finished StreamingQuery (availableNow trigger).
     ``stream_id`` defaults to the checkpoint path — the identity the
     batch_id sequence is scoped to.  ``compact_max_files`` (optional)
     auto-compacts postings/docs whenever a snapshot exceeds that many
-    data files, bounding scan task counts over a long-lived stream."""
+    data files, bounding scan task counts over a long-lived stream.
+    ``maintain_index=True`` also appends a compressed-index segment per
+    batch (same transaction), keeping WAND queries current without a
+    rebuild — see _stage_index_segment."""
     sid = stream_id or checkpoint_dir
 
     def process_batch(batch_df: DataFrame, batch_id: int):
-        process_stream_batch(spark, catalog, sid, batch_df, batch_id)
+        process_stream_batch(spark, catalog, sid, batch_df, batch_id,
+                             maintain_index=maintain_index,
+                             bm25=bm25, index_cfg=index_cfg)
         if compact_max_files is not None:
             _maybe_compact(spark, catalog, compact_max_files)
 

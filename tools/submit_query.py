@@ -66,6 +66,17 @@ class QueryService:
             # tombstoned doc_ids (plans/maintenance.py): bounded by
             # takedown volume, loaded once per snapshot, applied to
             # every query until a purge commits a new snapshot
+            # per-segment block-max bound inflation: a segment encoded
+            # at a lower avgdl than today's needs its bounds scaled by
+            # avgdl_now/built_avgdl to stay valid upper bounds (see
+            # make_shard_scorer bound_scale)
+            self._f["bound_scale"] = None
+            if self.cat.table_exists("index_segments"):
+                bs = [(r["min_shard"], r["max_shard"],
+                       max(1.0, self._f["avgdl"] / r["built_avgdl"]))
+                      for r in self.cat.read(self.spark, "index_segments")
+                      .collect() if r["built_avgdl"] > 0]
+                self._f["bound_scale"] = bs or None
             self._f["exclude_ids"] = None
             if self.cat.table_exists("doc_tombstones"):
                 ids = frozenset(
@@ -85,7 +96,8 @@ class QueryService:
             return wand_topk(f["index"], f["dictionary"], f["docs"],
                              query, f["n_docs"], f["avgdl"], k=k,
                              weighted=weighted, idf_cache=idf_cache,
-                             exclude_ids=f["exclude_ids"])
+                             exclude_ids=f["exclude_ids"],
+                             bound_scale=f["bound_scale"])
         return bm25_topk_exhaustive(f["postings"], f["dictionary"],
                                     f["docs"], query, f["n_docs"],
                                     f["avgdl"], k=k, weighted=weighted,
