@@ -456,6 +456,20 @@ def main():
     extras["stream_docs_per_sec"] = round(
         cat.read(spark, "docs").count() / dt, 2)
 
+    # same drain with per-batch compressed-index segment maintenance
+    # (cold start): the delta vs the line above is what keeping the
+    # WAND-servable index current costs per batch (segment encode +
+    # dictionary delta + stats rewrite, all in the batch's commit)
+    cat_seg = Catalog(os.path.join(sdir, "cat_seg"))
+    t0 = time.time()
+    incremental_index_update(spark, cat_seg, corpus_path,
+                             os.path.join(sdir, "ck_idx_seg"),
+                             maintain_index=True, index_cfg=cfg)
+    dt = time.time() - t0
+    extras["stream_drain_index_seg_sec"] = round(dt, 4)
+    extras["stream_seg_docs_per_sec"] = round(
+        cat_seg.read(spark, "docs").count() / dt, 2)
+
     # the file stream source needs a DIRECTORY; the sf events table may
     # be a single parquet file — stage symlinks (testdata is read-only)
     ev_src = f"{sf_dir}/events.parquet"

@@ -93,29 +93,44 @@ def _stage_index_segment(spark: SparkSession, catalog: Catalog, txn,
     avgdl drifts, so segment-served top-k is rank- and score-identical
     to a full rebuild (tests/test_incremental_segments.py).
 
-    Requires a base index built by plans/builder.IndexBuilder (which
-    records its own shard range in index_segments); assumes one writer
-    stream per catalog, which the (stream_id, batch_id) ledger already
+    Composes with a base index built by plans/builder.IndexBuilder
+    (which records its own shard range in index_segments) or cold-starts
+    a streaming-only index on an empty catalog (first batch claims
+    shard 0 and creates dictionary/stats); assumes one writer stream
+    per catalog, which the (stream_id, batch_id) ledger already
     implies."""
-    segs = catalog.read(spark, "index_segments")
-    next_shard = int(segs.agg(F.max("max_shard")).collect()[0][0]) + 1
+    if catalog.table_exists("index_segments"):
+        segs = catalog.read(spark, "index_segments")
+        next_shard = int(segs.agg(F.max("max_shard")).collect()[0][0]) + 1
+    else:
+        next_shard = 0                          # cold start, no base build
 
     # post-batch corpus stats computed with the SAME plan shape a full
     # rebuild uses (F.avg over every doc_len) — identical float ops, so
     # avgdl matches a rebuild bit-for-bit; an incremental
     # old_avgdl*old_n + batch_sum shortcut would NOT (the division
     # already rounded, so multiplying back drifts an ulp)
-    old_docs = catalog.read(spark, "docs").select("doc_len")
-    merged = old_docs.unionByName(docs.select("doc_len")).agg(
+    merged_docs = docs.select("doc_len")
+    if catalog.table_exists("docs"):
+        merged_docs = catalog.read(spark, "docs").select("doc_len") \
+            .unionByName(merged_docs)
+    merged = merged_docs.agg(
         F.count("*").alias("n_docs"),
         F.coalesce(F.avg("doc_len"), F.lit(0.0)).alias("avgdl")).collect()[0]
     n_docs, avgdl = int(merged["n_docs"]), float(merged["avgdl"])
 
     delta = dictionary_table(postings)
-    n_new_terms = delta.select("term").join(
-        catalog.read(spark, "dictionary").select("term").distinct(),
-        "term", "left_anti").count()
-    old_stats = catalog.read(spark, "stats").collect()[0]
+    new_terms = delta.select("term")
+    old_n_docs, old_n_terms = 0, 0
+    if catalog.table_exists("stats"):
+        old_stats = catalog.read(spark, "stats").collect()[0]
+        old_n_docs = int(old_stats["n_docs"])
+        old_n_terms = int(old_stats["n_terms"])
+    if catalog.table_exists("dictionary"):
+        new_terms = new_terms.join(
+            catalog.read(spark, "dictionary").select("term").distinct(),
+            "term", "left_anti")
+    n_new_terms = new_terms.count()
 
     seg_index = build_compressed_index(
         postings, avgdl, bm25, index_cfg,
@@ -123,13 +138,13 @@ def _stage_index_segment(spark: SparkSession, catalog: Catalog, txn,
     txn.append(seg_index, "index")
     txn.append(delta, "dictionary")
     txn.write(spark.createDataFrame(
-        [(n_docs, avgdl, int(old_stats["n_terms"]) + n_new_terms)],
+        [(n_docs, avgdl, old_n_terms + n_new_terms)],
         "n_docs long, avgdl double, n_terms long"), "stats")
     max_shard = next_shard + max(0, (n_new - 1) // index_cfg.shard_size)
     now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
     txn.append_rows(spark, "index_segments", [
         (f"seg-{doc_base}", next_shard, int(max_shard), avgdl,
-         n_docs - int(old_stats["n_docs"]), now)], INDEX_SEGMENTS)
+         n_docs - old_n_docs, now)], INDEX_SEGMENTS)
 
 
 def process_stream_batch(spark: SparkSession, catalog: Catalog,

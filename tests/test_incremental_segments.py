@@ -183,3 +183,32 @@ def test_segment_fault_leaves_no_partial_state(spark, seg_env, tmp_path):
     assert cat.read(spark, "dictionary").count() == before["dictionary"]
     assert cat.read(spark, "index_segments").count() == before["segments"]
     assert cat.read(spark, "stats").collect()[0].asDict() == before["stats"]
+
+
+def test_cold_start_streaming_only_index(spark, tmp_path):
+    """maintain_index on an EMPTY catalog: the first batch claims shard
+    0 and creates dictionary/stats; after two drains WAND over the
+    segment-only index matches the exhaustive scorer over the same
+    catalog's flat postings."""
+    cat = Catalog(str(tmp_path / "cold"))
+    inp = tmp_path / "cold_in"
+    spark.createDataFrame([make_doc(i) for i in range(40)], DOCUMENTS) \
+        .write.parquet(str(inp / "f0"))
+    incremental_index_update(spark, cat, str(inp) + "/*",
+                             str(tmp_path / "cold_ck"), maintain_index=True,
+                             bm25=CFG.bm25, index_cfg=CFG.index)
+    spark.createDataFrame([make_doc(i) for i in range(40, 70)], DOCUMENTS) \
+        .write.parquet(str(inp / "f1"))
+    incremental_index_update(spark, cat, str(inp) + "/*",
+                             str(tmp_path / "cold_ck"), maintain_index=True,
+                             bm25=CFG.bm25, index_cfg=CFG.index)
+
+    f = _frames(spark, cat)
+    assert len(f["segments"]) == 2
+    assert min(s["min_shard"] for s in f["segments"]) == 0
+    for q in QUERIES:
+        got = _wand(spark, f, q)
+        want = [(r["url"], r["score"]) for r in bm25_topk_exhaustive(
+            f["postings"], f["dictionary"], f["docs"], q,
+            f["n_docs"], f["avgdl"], k=10).orderBy("rank").collect()]
+        assert got == want, q
