@@ -43,7 +43,7 @@ def _with_keys(postings: DataFrame, cfg: IndexConfig,
         postings
         .withColumn("shard", (
             (F.col("doc_id") - F.lit(doc_base)) / F.lit(cfg.shard_size)
-            + F.lit(shard_offset)).cast("int"))
+            + F.lit(shard_offset)).cast("long"))
         .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets)).cast("int"))
         .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.salt_buckets)).cast("int"))
     )

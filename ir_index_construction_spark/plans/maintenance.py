@@ -33,7 +33,8 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..schemas import TOMBSTONES
+from ..config import BM25Config, IndexConfig
+from ..schemas import INDEX_SEGMENTS, TOMBSTONES
 from ..sources.catalog import Catalog
 
 
@@ -101,3 +102,52 @@ def purge_tombstones(spark: SparkSession, catalog: Catalog,
         fault()
     txn.commit()
     return n
+
+
+def reindex(spark: SparkSession, catalog: Catalog,
+            bm25: BM25Config = BM25Config(),
+            index_cfg: IndexConfig = IndexConfig(),
+            segment_id: str = "reindex") -> int:
+    """Merge all index segments back into ONE: re-encode the whole
+    postings table at the CURRENT avgdl and atomically replace index +
+    dictionary + index_segments (single row, scale factor 1) in one
+    transaction.  Returns the number of segments merged away.
+
+    This is the background-merge step of the segment lifecycle
+    (streaming/incremental.py ``maintain_index``): per-batch segments
+    keep queries current with zero rebuild latency, but segment count —
+    and with it the per-term dictionary delta rows, the bound_scale
+    list, and the bound inflation slack that makes pruning admissible
+    yet looser than freshly-encoded bounds — grows with stream age.
+    Periodic reindex resets all three, exactly as Lucene's segment
+    merges do.  Queries keep serving the old snapshot until the single
+    pointer swap; results are unchanged by construction (same postings,
+    same stats — only the physical layout and bound tightness move).
+    Old snapshots' files are reclaimed by expire_snapshots + vacuum."""
+    from ..operators.compress import build_compressed_index
+    from ..operators.postings import dictionary_table
+
+    n_segments = (catalog.read(spark, "index_segments").count()
+                  if catalog.table_exists("index_segments") else 0)
+    stats = catalog.read(spark, "stats").collect()[0]
+    avgdl = float(stats["avgdl"]) or 1.0
+    postings = catalog.read(spark, "postings")
+    index = build_compressed_index(postings, avgdl, bm25, index_cfg)
+    txn = catalog.transaction()
+    txn.write(index, "index")
+    txn.write(dictionary_table(postings), "dictionary")
+    txn.commit()
+    # shard range only known after the index materialized: record the
+    # merged segment in a follow-up commit (readers between the two
+    # commits see a correct index with a stale-but-admissible scale
+    # list, since factor >= 1 only loosens pruning, never results)
+    rng = catalog.read(spark, "index").agg(
+        F.min("shard").alias("lo"), F.max("shard").alias("hi")).collect()[0]
+    import datetime as _dt2
+    now = _dt2.datetime.now(_dt2.timezone.utc).replace(tzinfo=None)
+    txn2 = catalog.transaction()
+    txn2.write(spark.createDataFrame(
+        [(segment_id, int(rng["lo"]), int(rng["hi"]), avgdl,
+          int(stats["n_docs"]), now)], INDEX_SEGMENTS), "index_segments")
+    txn2.commit()
+    return max(0, n_segments - 1)

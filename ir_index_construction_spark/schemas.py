@@ -73,7 +73,7 @@ STATS = StructType([
 # block_max rows carry per-block (last_doc, max w, max w*(imp/10)) —
 # the second bound drives importance-weighted WAND (codec.py header).
 INDEX = StructType([
-    StructField("shard", IntegerType(), False),
+    StructField("shard", LongType(), False),
     StructField("term", StringType(), False),
     StructField("chunk", IntegerType(), False),
     StructField("df_shard", LongType(), False),     # term df within shard
@@ -88,7 +88,7 @@ INDEX = StructType([
 
 # Phase-1 salted posting runs (intermediate, shuffle-compacting).
 SALTED_RUNS = StructType([
-    StructField("shard", IntegerType(), False),
+    StructField("shard", LongType(), False),
     StructField("term", StringType(), False),
     StructField("salt", IntegerType(), False),
     StructField("n", IntegerType(), False),
@@ -136,10 +136,6 @@ EVENTS = StructType([
     StructField("props", StringType(), True),
 ])
 
-# Streaming micro-batch ledger: one row per committed (stream, batch).
-# Written in the SAME transaction as the batch's postings/docs appends,
-# so "batch committed" and "batch data visible" are one atomic fact —
-# foreachBatch replays after a crash check it and no-op.
 # One row per compressed-index segment (a contiguous claimed shard
 # range encoded in one build pass at one avgdl).  Query-side block-max
 # bounds are inflated by max(1, avgdl_now/built_avgdl) per segment,
@@ -148,8 +144,8 @@ EVENTS = StructType([
 # faster than proportionally, so the ratio is a valid bound factor).
 INDEX_SEGMENTS = StructType([
     StructField("segment_id", StringType(), False),
-    StructField("min_shard", IntegerType(), False),
-    StructField("max_shard", IntegerType(), False),
+    StructField("min_shard", LongType(), False),
+    StructField("max_shard", LongType(), False),
     StructField("built_avgdl", DoubleType(), False),
     StructField("n_docs", LongType(), False),
     StructField("committed_at", TimestampType(), False),
@@ -162,6 +158,10 @@ TOMBSTONES = StructType([
     StructField("reason", StringType(), True),
 ])
 
+# Streaming micro-batch ledger: one row per committed (stream, batch).
+# Written in the SAME transaction as the batch's postings/docs appends,
+# so "batch committed" and "batch data visible" are one atomic fact —
+# foreachBatch replays after a crash check it and no-op.
 STREAM_COMMITS = StructType([
     StructField("stream_id", StringType(), False),
     StructField("batch_id", LongType(), False),

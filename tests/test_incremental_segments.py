@@ -212,3 +212,27 @@ def test_cold_start_streaming_only_index(spark, tmp_path):
             f["postings"], f["dictionary"], f["docs"], q,
             f["n_docs"], f["avgdl"], k=10).orderBy("rank").collect()]
         assert got == want, q
+
+
+def test_reindex_merges_segments_and_preserves_results(spark, seg_env):
+    """Background segment merge: reindex re-encodes ALL postings
+    (including streamed docs with huge per-batch id bases — shard is a
+    long, so no int wrap) at the current avgdl; results are unchanged,
+    segments collapse to one, and the bound scale resets to 1."""
+    from ir_index_construction_spark.plans.maintenance import reindex
+
+    cat = seg_env["cat"]
+    f_before = _frames(spark, cat)
+    before = {q: _wand(spark, f_before, q) for q in QUERIES}
+
+    assert reindex(spark, cat, CFG.bm25, CFG.index) >= 1
+
+    f = _frames(spark, cat)
+    assert len(f["segments"]) == 1
+    assert all(s == 1.0 for _, _, s in f["bound_scale"])
+    # streamed ids live above 2^40: their shards need long arithmetic
+    assert f["segments"][0]["max_shard"] >= (1 << 40) // CFG.index.shard_size
+    assert (f["n_docs"], f["avgdl"]) == (f_before["n_docs"],
+                                         f_before["avgdl"])
+    for q in QUERIES:
+        assert _wand(spark, f, q) == before[q], q
