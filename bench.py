@@ -82,6 +82,19 @@ def host_busy_sec() -> float:
     return (sum(v) - v[3] - v[4]) / hz
 
 
+def host_steal_sec() -> float:
+    """Cumulative hypervisor steal core-seconds (/proc/stat field 8):
+    time our vCPUs were runnable but the physical host ran someone
+    else.  Reported separately from external_busy_cores because the two
+    isolate different interference: ext counts OTHER PROCESSES in this
+    VM, steal counts the hypervisor.  A rep that is slow with BOTH flat
+    is the third case — SMT-sibling / clock contention on the physical
+    core, which no guest counter can see — and recording ext+steal is
+    what makes that diagnosis an elimination instead of a guess."""
+    v = open("/proc/stat").readline().split()[1:]
+    return int(v[7]) / os.sysconf("SC_CLK_TCK")
+
+
 def jvm_gc_ms(spark) -> int:
     """Cumulative JVM GC milliseconds via the management MXBeans (local
     mode: driver == executor, so this is ALL the GC there is).  Deltas
@@ -155,14 +168,17 @@ def main():
         # query phases already have)
         best, out, trace = None, None, []
         for _ in range(max(1, reps)):
-            busy0, cpu0, t0 = host_busy_sec(), proc_tree_cpu_sec(), time.time()
+            busy0, cpu0 = host_busy_sec(), proc_tree_cpu_sec()
+            steal0, t0 = host_steal_sec(), time.time()
             out = fn()
             dt = time.time() - t0
             ours = proc_tree_cpu_sec() - cpu0
             ext = max(0.0, (host_busy_sec() - busy0 - ours) / max(dt, 1e-9))
+            steal = (host_steal_sec() - steal0) / max(dt, 1e-9)
             # short ops can hit /proc/stat vs time.time() skew; a value
             # above the core count is a sampling artifact, not a signal
-            trace.append([round(dt, 3), round(min(ext, os.cpu_count()), 2)])
+            trace.append([round(dt, 3), round(min(ext, os.cpu_count()), 2),
+                          round(min(steal, os.cpu_count()), 2)])
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
         extras.setdefault("op_trace", {})[name] = trace
@@ -210,13 +226,15 @@ def main():
             built.dictionary.unpersist(blocking=True)
             built.unpersist()
         busy0, cpu0, t0 = host_busy_sec(), proc_tree_cpu_sec(), time.time()
-        gc0 = jvm_gc_ms(spark)
+        steal0, gc0 = host_steal_sec(), jvm_gc_ms(spark)
         built, index = build()
         dt = time.time() - t0
         ours = proc_tree_cpu_sec() - cpu0
         ext = max(0.0, (host_busy_sec() - busy0) - ours) / dt
         build_trace.append({"wall_sec": round(dt, 2),
                             "external_busy_cores": round(ext, 2),
+                            "steal_cores": round(
+                                (host_steal_sec() - steal0) / dt, 2),
                             "jvm_gc_ms": jvm_gc_ms(spark) - gc0})
         best = dt if best is None else min(best, dt)
     timings["index_build"] = round(best, 4)
@@ -270,7 +288,7 @@ def main():
     best = {"wand_p50": None, "wand_p95": None, "exhaustive_p50": None}
     for _ in range(query_passes):
         busy0, cpu0, t0 = host_busy_sec(), proc_tree_cpu_sec(), time.time()
-        gc0 = jvm_gc_ms(spark)
+        steal0, gc0 = host_steal_sec(), jvm_gc_ms(spark)
         lat_wand, lat_ex = [], []
         for rep in range(3):
             for q in REFERENCE_QUERIES:
@@ -302,6 +320,8 @@ def main():
         # trace shows exactly which query in which rep paid it
         pass_trace.append({**stats, "wall_sec": round(wall, 2),
                            "external_busy_cores": round(ext, 2),
+                           "steal_cores": round(
+                               (host_steal_sec() - steal0) / wall, 2),
                            "jvm_gc_ms": jvm_gc_ms(spark) - gc0,
                            "lat_wand": [round(x, 3) for x in lat_wand],
                            "lat_exhaustive": [round(x, 3) for x in lat_ex]})
