@@ -214,6 +214,42 @@ def test_cold_start_streaming_only_index(spark, tmp_path):
         assert got == want, q
 
 
+def test_tombstones_compose_with_segments(spark, seg_env):
+    """Deletion + segments + bound inflation in one query: tombstone a
+    streamed (segment-resident) doc and a base doc, then WAND with both
+    exclude_ids and bound_scale must equal the exhaustive scorer over
+    the live postings view — the full merge-on-read read path."""
+    from ir_index_construction_spark.plans.maintenance import (
+        live_postings, tombstone_urls)
+
+    cat = seg_env["cat"]
+    f = _frames(spark, cat)
+    q = "machine learning"
+    top = _wand(spark, f, q)
+    base_victim = next(u for u, _ in top
+                       if not u.startswith("https://long.example.org/"))
+    seg_victim = "https://long.example.org/page/0"
+    assert tombstone_urls(spark, cat, [base_victim, seg_victim]) == 2
+    try:
+        dead = {r["doc_id"] for r in
+                cat.read(spark, "doc_tombstones").collect()}
+        got = [(r["url"], r["score"]) for r in wand_topk(
+            f["index"], f["dictionary"], f["docs"], q,
+            f["n_docs"], f["avgdl"], k=10,
+            bound_scale=f["bound_scale"], exclude_ids=dead)
+            .orderBy("rank").collect()]
+        assert all(u not in (base_victim, seg_victim) for u, _ in got)
+        want = [(r["url"], r["score"]) for r in bm25_topk_exhaustive(
+            live_postings(spark, cat), f["dictionary"], f["docs"], q,
+            f["n_docs"], f["avgdl"], k=10).orderBy("rank").collect()]
+        assert got == want
+    finally:
+        # leave seg_env unmutated for the reindex test that follows
+        from ir_index_construction_spark.schemas import TOMBSTONES
+        cat.transaction().write(
+            spark.createDataFrame([], TOMBSTONES), "doc_tombstones").commit()
+
+
 def test_reindex_merges_segments_and_preserves_results(spark, seg_env):
     """Background segment merge: reindex re-encodes ALL postings
     (including streamed docs with huge per-batch id bases — shard is a
