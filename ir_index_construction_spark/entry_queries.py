@@ -1851,6 +1851,101 @@ SELECT id, source, ws_tokens, cum_weight
 FROM w WHERE cum_weight <= {TOKEN_BUDGET}
 """
 
+# ---------------------------------------------------------------------------
+# positional retrieval: exact phrase (q47) + proximity NEAR/w (q48).
+# Engines use deliberately DIFFERENT formulations of the same semantics
+# (Spark: one hash agg + offset-shifted array_intersect, no self-join;
+# DuckDB: relational positional self-join) — matching hashes from
+# independent plans is the strongest form of the oracle check.
+# ---------------------------------------------------------------------------
+
+PHRASE_TERMS = ("query", "scan")
+PROX_A, PROX_B, PROX_WINDOW = "data", "join", 4
+
+SQL_POS = """
+seq AS (
+    SELECT doc_id,
+           string_split_regex(
+               trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')),
+               '\\s+') AS tokens
+    FROM documents
+),
+pos0 AS (
+    SELECT doc_id, unnest(tokens) AS term,
+           generate_subscripts(tokens, 1) AS pos
+    FROM seq
+),
+pos2 AS (SELECT doc_id, term, pos FROM pos0 WHERE term <> '')
+"""
+
+
+def q_phrase_topk(spark, sf_dir):
+    from .operators.phrase import phrase_bm25_topk
+
+    return phrase_bm25_topk(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        list(PHRASE_TERMS), k=10)
+
+
+SQL_PHRASE_TOPK = f"""
+WITH {SQL_POS},
+m AS (
+    SELECT p0.doc_id, p0.pos
+    FROM pos2 p0
+    JOIN pos2 p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+    WHERE p0.term = '{PHRASE_TERMS[0]}' AND p1.term = '{PHRASE_TERMS[1]}'
+),
+occ AS (SELECT doc_id, count(*)::BIGINT AS ptf FROM m GROUP BY 1),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM pos2 GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM pos2)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl,
+           (SELECT count(*) FROM occ)::DOUBLE AS df_p
+),
+scores AS (
+    SELECT o.doc_id, o.ptf,
+           round(ln((c.n_docs - c.df_p + 0.5) / (c.df_p + 0.5) + 1.0)
+                 * ((o.ptf * {K1 + 1.0}) /
+                    (o.ptf + {K1} * ({1.0 - B} + {B} * (d.dl / c.avgdl)))),
+                 6) AS score
+    FROM occ o JOIN dl d USING (doc_id) CROSS JOIN consts c
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, ptf, score
+FROM scores ORDER BY rank LIMIT 10
+"""
+
+
+def q_proximity(spark, sf_dir):
+    from .operators.phrase import proximity_topk
+
+    return proximity_topk(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        PROX_A, PROX_B, PROX_WINDOW, k=15)
+
+
+SQL_PROXIMITY = f"""
+WITH {SQL_POS},
+pa AS (SELECT doc_id, pos FROM pos2 WHERE term = '{PROX_A}'),
+pb AS (SELECT doc_id, pos FROM pos2 WHERE term = '{PROX_B}'),
+pairs AS (
+    SELECT pa.doc_id, abs(pa.pos - pb.pos) AS dist
+    FROM pa JOIN pb USING (doc_id)
+),
+m AS (
+    SELECT doc_id,
+           (count(*) FILTER (WHERE dist <= {PROX_WINDOW}))::BIGINT AS n_pairs,
+           min(dist)::BIGINT AS min_dist
+    FROM pairs GROUP BY 1
+)
+SELECT row_number() OVER (
+           ORDER BY n_pairs DESC, min_dist ASC, doc_id ASC)::BIGINT AS rank,
+       doc_id, n_pairs, min_dist
+FROM m WHERE min_dist <= {PROX_WINDOW}
+ORDER BY rank LIMIT 15
+"""
+
 
 # ---------------------------------------------------------------------------
 # registry
@@ -1904,6 +1999,8 @@ def queries() -> dict:
         "q44_curation_funnel": q_funnel,
         "q45_source_cap": q_source_cap,
         "q46_token_budget": q_token_budget,
+        "q47_phrase_topk": q_phrase_topk,
+        "q48_proximity": q_proximity,
     }
 
 
@@ -1956,4 +2053,6 @@ def oracle_sql() -> dict:
         "q44_curation_funnel": _sql_funnel(),
         "q45_source_cap": _sql_source_cap(),
         "q46_token_budget": _sql_token_budget(),
+        "q47_phrase_topk": SQL_PHRASE_TOPK,
+        "q48_proximity": SQL_PROXIMITY,
     }

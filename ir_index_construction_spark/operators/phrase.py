@@ -1,0 +1,180 @@
+"""Positional retrieval: exact-phrase and proximity (NEAR/w) matching.
+
+The reference engine has no positional index (its postings carry only
+tf/imp — indexer.py:15-41), so this family is beyond-reference search
+capability (SURVEY.md §2.2): the operators a reference user would need
+the moment their queries grow quotes ("exact phrase") or NEAR
+semantics.
+
+Two tiers, same pattern as BM25 (plans/query.py):
+
+  * Oracle tier (this module's *_topk over the raw documents table) —
+    unstemmed O8 tokens with ordinal positions, SQL-expressible, value-
+    hash-checked against DuckDB (q47/q48).
+  * Engine tier (``phrase_match_positions`` + plans/query.py
+    ``phrase_topk_indexed``) — stemmed kept-token positions served from
+    the catalog's ``positions`` table (built opt-in by the IndexBuilder
+    and maintained per micro-batch by the streaming path).
+
+Plan shape (the part that must hold at 100 TB): the positions scan is
+filtered to the phrase's terms with a static ``isin`` (pushed to
+parquet row-group stats on the term-sorted layout — identical to the
+postings pruning in plans/query.py:154), then ONE hash aggregation
+keyed on doc_id builds per-offset position arrays; phrase starts are
+``array_intersect`` of the offset-shifted arrays — JVM-side array
+expressions, no self-joins, no Python.  An m-term phrase is m-1
+intersections over arrays whose lengths are the per-doc tfs, not a
+(m-way join) x (positions table) blow-up.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..config import BM25Config
+
+
+def token_positions(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """O8-normalized tokens with 0-based ordinal positions:
+    (doc_id, pos, term).  Native posexplode — the positional twin of
+    entry_queries._tokens (same normalization, so q47/q48 compose with
+    every other unstemmed oracle query)."""
+    return (
+        docs.select(
+            id_col,
+            F.posexplode(
+                F.split(
+                    F.trim(F.regexp_replace(
+                        F.lower(F.col(text_col)), "[^a-z0-9\\s]", " ")),
+                    r"\s+",
+                )
+            ).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+def _offset_arrays(positions: DataFrame, terms: list,
+                   pos_col: str = "pos", plural: bool = False) -> DataFrame:
+    """One hash agg: per doc, the set of positions of terms[i] shifted
+    left by i (column _p<i>).  ``plural=True`` means ``pos_col`` is an
+    ARRAY of positions per (term, doc) row (the catalog layout) rather
+    than one row per occurrence."""
+    aggs = []
+    for i, t in enumerate(terms):
+        if plural:
+            shifted = F.when(
+                F.col("term") == t,
+                F.transform(F.col(pos_col), lambda p: p - F.lit(i)))
+            # collect_list skips non-matching (null) rows; flatten merges
+            # the (at most one, but per-segment possibly several) arrays
+            aggs.append(F.flatten(F.collect_list(shifted)).alias(f"_p{i}"))
+        else:
+            shifted = F.when(F.col("term") == t, F.col(pos_col) - F.lit(i))
+            aggs.append(F.collect_list(shifted).alias(f"_p{i}"))
+    return (
+        positions.filter(F.col("term").isin(list(set(terms))))
+        .groupBy("doc_id").agg(*aggs)
+    )
+
+
+def phrase_match(positions: DataFrame, phrase_terms: list,
+                 pos_col: str = "pos", plural: bool = False) -> DataFrame:
+    """(doc_id, ptf): docs containing the exact phrase, with its
+    occurrence count.  ptf = |intersect_i (positions(term_i) - i)| —
+    the count of valid start positions.  Position lists are per-doc
+    distinct, so array_intersect's set semantics are exact here."""
+    agg = _offset_arrays(positions, phrase_terms, pos_col, plural)
+    starts = reduce(F.array_intersect,
+                    [F.col(f"_p{i}") for i in range(len(phrase_terms))])
+    return (
+        agg.select("doc_id", F.size(starts).cast("long").alias("ptf"))
+        .filter(F.col("ptf") > 0)
+    )
+
+
+def proximity_match(positions: DataFrame, term_a: str, term_b: str,
+                    window: int, pos_col: str = "pos",
+                    plural: bool = False) -> DataFrame:
+    """(doc_id, n_pairs, min_dist): docs where term_a and term_b occur
+    within ``window`` tokens.  min_dist = min |pos_a - pos_b| over all
+    occurrence pairs; n_pairs counts pairs within the window.  All
+    array expressions — the per-doc pair scan is O(tf_a * tf_b) inside
+    whole-stage codegen, never a row-level self-join."""
+    agg = _offset_arrays(positions, [term_a, term_b], pos_col, plural)
+    pa, pb = F.col("_p0"), F.col("_p1")
+    # _offset_arrays shifted _p1 by -1 (phrase semantics); undo for
+    # symmetric distances
+    pb = F.transform(pb, lambda p: p + F.lit(1))
+    dist = F.transform(
+        pa, lambda x: F.array_min(F.transform(pb, lambda y: F.abs(y - x))))
+    n_pairs = F.aggregate(
+        F.transform(pa, lambda x: F.size(
+            F.filter(pb, lambda y: F.abs(y - x) <= F.lit(window)))),
+        F.lit(0), lambda acc, n: acc + n)
+    return (
+        agg.filter((F.size(pa) > 0) & (F.size(F.col("_p1")) > 0))
+        .select(
+            "doc_id",
+            n_pairs.cast("long").alias("n_pairs"),
+            F.array_min(dist).cast("long").alias("min_dist"),
+        )
+        .filter(F.col("min_dist") <= window)
+    )
+
+
+def phrase_bm25_topk(docs: DataFrame, phrase_terms: list, k: int = 10,
+                     bm25: BM25Config = BM25Config()) -> DataFrame:
+    """Oracle-tier phrase search over a raw documents(doc_id, text)
+    frame: BM25 scoring the phrase as ONE virtual term (tf = occurrence
+    count, df = matching-doc count) — the standard way a phrase enters
+    the ranking function.  Returns (rank, doc_id, ptf, score)."""
+    spark = docs.sparkSession
+    pos = token_positions(docs)
+    matched = phrase_match(pos, phrase_terms)
+    dl = pos.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_docs = docs.count()
+    total_tokens = pos.count()
+    avgdl = (total_tokens / n_docs) if n_docs else 1.0
+    df_p = matched.count()
+    if df_p == 0 or n_docs == 0:
+        return spark.createDataFrame(
+            [], "rank long, doc_id long, ptf long, score double")
+    import math
+    idf = math.log((n_docs - df_p + 0.5) / (df_p + 0.5) + 1.0)
+    k1, b = bm25.k1, bm25.b
+    w = (F.col("ptf") * F.lit(k1 + 1.0)) / (
+        F.col("ptf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.lit(avgdl)))
+    )
+    scored = (
+        matched.join(dl, "doc_id")
+        .select("doc_id", "ptf", F.round(F.lit(idf) * w, 6).alias("score"))
+    )
+    topk = scored.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(win).cast("long"))
+        .select("rank", "doc_id", "ptf", "score")
+    )
+
+
+def proximity_topk(docs: DataFrame, term_a: str, term_b: str,
+                   window: int, k: int = 15) -> DataFrame:
+    """Oracle-tier proximity search: docs where the two terms co-occur
+    within ``window`` tokens, ranked by in-window pair count (desc) then
+    closest distance.  Returns (rank, doc_id, n_pairs, min_dist)."""
+    matched = proximity_match(token_positions(docs), term_a, term_b, window)
+    order = [F.col("n_pairs").desc(), F.col("min_dist").asc(),
+             F.col("doc_id").asc()]
+    topk = matched.orderBy(*order).limit(k)
+    win = Window.orderBy(*order)
+    return (
+        topk.withColumn("rank", F.row_number().over(win).cast("long"))
+        .select("rank", "doc_id", "n_pairs", "min_dist")
+    )
