@@ -43,6 +43,12 @@ class BuildConfig:
     index: IndexConfig = field(default_factory=IndexConfig)
     batch_docs: int = 0                # 0 = single ingest batch (small corpora)
     shuffle_partitions: int = 32
+    # opt-in positional index: the tokenize stage also writes a
+    # `positions` table (term, doc_id, kept-token ordinals) in the same
+    # per-batch transaction, enabling exact-phrase / proximity queries
+    # (plans/query.phrase_topk_indexed).  Off by default — positions
+    # roughly double the tokenize stage's shuffled bytes.
+    positions: bool = False
 
 
 DEFAULT_BUILD = BuildConfig()

@@ -19,7 +19,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType, StructField, StructType
 
 from ..text.extract import extract_text, extract_text_and_zones
-from ..text.normalize import doc_term_stats
+from ..text.normalize import doc_term_positions, doc_term_stats
 from ..text.porter import make_cached_stemmer
 
 _URL_PARTS = StructType([
@@ -50,9 +50,10 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 
 
 def make_extract_tokenize(passthrough: tuple = ("doc_id", "url"),
-                          emit_text: bool = True):
+                          emit_text: bool = True,
+                          emit_positions: bool = False):
     """mapInPandas fn: (*passthrough, html) batches ->
-    (*passthrough, [text,] dl, terms ARRAY<STRUCT<term,tf,imp>>).
+    (*passthrough, [text,] dl, terms ARRAY<STRUCT<term,tf,imp[,pos]>>).
 
     One fused Arrow pass over O6-O11 (extract zones, normalize, tokenize,
     stem with memo, validity-filter, per-doc tf/imp accumulation —
@@ -60,7 +61,13 @@ def make_extract_tokenize(passthrough: tuple = ("doc_id", "url"),
 
     emit_text=False skips Arrow-transferring the extracted full text
     (roughly html-sized) when the caller only needs term stats — the
-    batch index build's hot path."""
+    batch index build's hot path.
+
+    emit_positions=True (positional builds) adds each term's 0-based
+    kept-token ordinals (text/normalize.doc_term_positions) to the term
+    struct — tf/imp stay bit-identical to the non-positional pass, so a
+    positional build's postings/docs/index tables match a plain build's
+    exactly; only the extra ``positions`` table differs."""
 
     def extract_tokenize(batches):
         stemmer = make_cached_stemmer()   # memo shared across the partition
@@ -75,6 +82,14 @@ def make_extract_tokenize(passthrough: tuple = ("doc_id", "url"),
                 text, zones = extract_text_and_zones(h)
                 if emit_text:
                     texts.append(text)
+                if emit_positions:
+                    stats = doc_term_positions(zones, stemmer)
+                    dls.append(sum(tf for tf, _, _ in stats.values()))
+                    terms_col.append(
+                        [{"term": t, "tf": v[0], "imp": v[1], "pos": v[2]}
+                         for t, v in stats.items()]
+                    )
+                    continue
                 stats = doc_term_stats(zones, stemmer)
                 dls.append(sum(tf for tf, _ in stats.values()))
                 terms_col.append(

@@ -11,15 +11,18 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StringType, StructField, StructType, TimestampType
 
 from ..functions.udfs import make_extract_tokenize
-from ..schemas import TOKENIZED
+from ..schemas import TOKENIZED, TOKENIZED_POS
 
 
-def tokenize(corpus_with_ids: DataFrame) -> DataFrame:
+def tokenize(corpus_with_ids: DataFrame, positions: bool = False) -> DataFrame:
     """(doc_id, url, html, ...) -> TOKENIZED (one row per doc, per-doc
     aggregated term stats).  Column pruning: only doc_id/url/html cross
-    into Python."""
+    into Python.  positions=True emits TOKENIZED_POS (each term entry
+    also carries its kept-token ordinals) — tf/imp/dl are bit-identical
+    either way, so downstream postings/docs don't care which ran."""
     return corpus_with_ids.select("doc_id", "url", "html").mapInPandas(
-        make_extract_tokenize(), schema=TOKENIZED
+        make_extract_tokenize(emit_positions=positions),
+        schema=TOKENIZED_POS if positions else TOKENIZED,
     )
 
 
@@ -59,6 +62,19 @@ def postings_from_tokenized(tokenized: DataFrame) -> DataFrame:
         F.col("t.tf").alias("tf"),
         F.col("t.imp").alias("imp"),
         "dl",
+    )
+
+
+def positions_from_tokenized(tokenized_pos: DataFrame) -> DataFrame:
+    """Explode a TOKENIZED_POS frame into the POSITIONS_TABLE layout:
+    (term, doc_id, positions).  Native Generate node; position lists
+    stay nested (parquet list<int32> is the compression layer)."""
+    return tokenized_pos.select(
+        F.col("doc_id"), F.explode("terms").alias("t")
+    ).select(
+        F.col("t.term").alias("term"),
+        "doc_id",
+        F.col("t.pos").alias("positions"),
     )
 
 

@@ -39,6 +39,7 @@ from ..operators.corpus import ingest
 from ..operators.postings import (
     dictionary_table,
     docs_table,
+    positions_from_tokenized,
     postings_from_tokenized,
     tokenize,
 )
@@ -155,12 +156,21 @@ class IndexBuilder:
                 continue
             t0 = time.time()
             part = prepared.filter(F.col("batch") == b)
-            tok = tokenize(part).persist()
+            tok = tokenize(part, positions=self.cfg.positions).persist()
             postings = postings_from_tokenized(tok)
             docs = docs_table(tok)
             txn = self.catalog.transaction()
             txn.append(postings, "postings")
             txn.append(docs, "docs")
+            if self.cfg.positions:
+                # same transaction: a batch is never visible with postings
+                # but no positions.  Term-sorted files so the phrase scan's
+                # isin() prunes row groups like the index table's layout.
+                pos = positions_from_tokenized(tok)
+                pos = pos.repartitionByRange(
+                    max(1, spark.sparkContext.defaultParallelism // 4), "term"
+                ).sortWithinPartitions("term", "doc_id")
+                txn.append(pos, "positions")
             n_docs = docs.count()
             n_post = postings.count()
             tok.unpersist()
@@ -269,7 +279,8 @@ class IndexBuilder:
     def tables(self, spark: SparkSession) -> dict:
         out = {}
         for t in ("docs", "postings", "dictionary", "stats", "index",
-                  "index_segments", "checkpoints", "lineage", "metrics"):
+                  "index_segments", "positions",
+                  "checkpoints", "lineage", "metrics"):
             if self.catalog.table_exists(t):
                 out[t] = self.catalog.read(spark, t)
         return out

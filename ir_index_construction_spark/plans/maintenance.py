@@ -97,6 +97,11 @@ def purge_tombstones(spark: SparkSession, catalog: Catalog,
     txn.write(live_docs(spark, catalog), "docs")
     if catalog.table_exists("postings"):
         txn.write(live_postings(spark, catalog), "postings")
+    if catalog.table_exists("positions"):
+        # positional index (BuildConfig.positions) purges in the same
+        # transaction — phrase queries and WAND never disagree on which
+        # docs exist
+        txn.write(_masked(spark, catalog, "positions"), "positions")
     txn.write(spark.createDataFrame([], TOMBSTONES), "doc_tombstones")
     if fault is not None:
         fault()

@@ -27,13 +27,82 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..config import BM25Config
-from ..schemas import TOPK
+from ..schemas import PHRASE_TOPK, TOPK
 from ..text.normalize import parse_query
 import math
 
 
 def empty_topk(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], TOPK)
+
+
+def phrase_topk_indexed(
+    positions: DataFrame,
+    docs: DataFrame,
+    query: str,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    bm25: BM25Config = BM25Config(),
+    exclude_ids=None,
+    pre_parsed: list | None = None,
+) -> DataFrame:
+    """Exact-phrase top-k over the catalog's positional index
+    (BuildConfig.positions).  Returns PHRASE_TOPK (rank, doc_id, url,
+    ptf, score).
+
+    The query is normalized + stemmed with the SAME parse the OR/AND
+    paths use, so a phrase matches exactly when its words would match as
+    terms and additionally sit adjacent in the kept-token stream (the
+    position convention of text/normalize.doc_term_positions).
+    ``pre_parsed`` bypasses parse_query with an explicit stemmed term
+    sequence (unstemmed indexes / programmatic callers).
+
+    Plan: pruned positions scan (static isin -> parquet row-group stats
+    on the term-sorted layout) -> optional broadcast anti-join against
+    the deletion set (tombstones mask phrase results exactly like WAND's
+    exclude_ids) -> ONE doc_id hash agg building per-offset position
+    arrays -> array_intersect of offset-shifted arrays = phrase starts
+    (operators/phrase.py) -> join the (small) matched set against docs
+    for doc_len/url (AQE broadcasts the matched side) -> BM25
+    virtual-term scoring (tf = start count, df = matching docs) ->
+    TakeOrderedAndProject.  Two jobs total (df_p, then the scored
+    top-k) — the df_p pass reuses the same pruned scan; no caching is
+    held across queries.
+    """
+    from ..operators.phrase import phrase_match
+
+    spark = positions.sparkSession
+    terms = pre_parsed if pre_parsed is not None else parse_query(query)[0]
+    if not terms or n_docs == 0 or avgdl == 0:
+        return spark.createDataFrame([], PHRASE_TOPK)
+    if exclude_ids:
+        dead = spark.createDataFrame(
+            [(int(i),) for i in sorted(exclude_ids)], "doc_id long")
+        positions = positions.join(F.broadcast(dead), "doc_id", "left_anti")
+    matched = phrase_match(positions, list(terms),
+                           pos_col="positions", plural=True)
+    df_p = matched.count()
+    if df_p == 0:
+        return spark.createDataFrame([], PHRASE_TOPK)
+    idf = math.log((n_docs - df_p + 0.5) / (df_p + 0.5) + 1.0)
+    k1, b = bm25.k1, bm25.b
+    w = (F.col("ptf") * F.lit(k1 + 1.0)) / (
+        F.col("ptf")
+        + F.lit(k1) * (F.lit(1.0 - b)
+                       + F.lit(b) * (F.col("doc_len") / F.lit(avgdl)))
+    )
+    scored = (
+        matched.join(docs.select("doc_id", "url", "doc_len"), "doc_id")
+        .select("doc_id", "url", "ptf", (F.lit(idf) * w).alias("score"))
+    )
+    topk = scored.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(win).cast("int"))
+        .select("rank", "doc_id", "url", "ptf", "score")
+    )
 
 
 class TermStatsCache:

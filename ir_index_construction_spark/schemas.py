@@ -41,6 +41,32 @@ TOKENIZED = StructType([
     ])), False),
 ])
 
+# Positional variant of TOKENIZED (opt-in: BuildConfig.positions).  Each
+# term entry additionally carries its 0-based kept-token ordinals — see
+# text/normalize.doc_term_positions for the position convention.
+TOKENIZED_POS = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("url", StringType(), False),
+    StructField("text", StringType(), True),
+    StructField("dl", IntegerType(), False),
+    StructField("terms", ArrayType(StructType([
+        StructField("term", StringType(), False),
+        StructField("tf", IntegerType(), False),
+        StructField("imp", IntegerType(), False),
+        StructField("pos", ArrayType(IntegerType()), False),
+    ])), False),
+])
+
+# Positional postings table (opt-in).  One row per (term, doc) with the
+# full ascending position list — parquet's list<int32> delta/RLE encoding
+# is the compression layer; the layout is term-sorted within files so the
+# phrase scan's isin() prunes row groups exactly like the index table.
+POSITIONS_TABLE = StructType([
+    StructField("term", StringType(), False),
+    StructField("doc_id", LongType(), False),
+    StructField("positions", ArrayType(IntegerType()), False),
+])
+
 # Flat postings (intermediate).
 POSTINGS = StructType([
     StructField("term", StringType(), False),
@@ -173,5 +199,15 @@ TOPK = StructType([
     StructField("rank", IntegerType(), False),
     StructField("doc_id", LongType(), False),
     StructField("url", StringType(), False),
+    StructField("score", DoubleType(), False),
+])
+
+# Result of plans/query.phrase_topk_indexed: TOPK + the phrase's
+# occurrence count in the doc.
+PHRASE_TOPK = StructType([
+    StructField("rank", IntegerType(), False),
+    StructField("doc_id", LongType(), False),
+    StructField("url", StringType(), False),
+    StructField("ptf", LongType(), False),
     StructField("score", DoubleType(), False),
 ])

@@ -40,6 +40,7 @@ from ..config import BM25Config, IndexConfig
 from ..operators.compress import build_compressed_index
 from ..operators.corpus import dedup_assign_ids, defrag_and_filter
 from ..operators.postings import (dictionary_table, docs_table,
+                                  positions_from_tokenized,
                                   postings_from_tokenized, tokenize)
 from ..schemas import DOCUMENTS, INDEX_SEGMENTS, STREAM_COMMITS
 from ..sources.catalog import Catalog, CommitConflict
@@ -58,7 +59,7 @@ def _maybe_compact(spark: SparkSession, catalog: Catalog,
     AFTER the batch's exactly-once commit — compaction is pure rewrite,
     so a crash here loses no data (staged files are vacuumed later) and
     a concurrent writer landing mid-rewrite just skips this cycle."""
-    for table in ("postings", "docs"):
+    for table in ("postings", "docs", "positions"):
         snap = catalog.current_snapshot(table)
         if snap is not None and len(snap["files"]) > max_files:
             with contextlib.suppress(CommitConflict):
@@ -152,7 +153,8 @@ def process_stream_batch(spark: SparkSession, catalog: Catalog,
                          fault: Callable | None = None,
                          maintain_index: bool = False,
                          bm25: BM25Config = BM25Config(),
-                         index_cfg: IndexConfig = IndexConfig()) -> None:
+                         index_cfg: IndexConfig = IndexConfig(),
+                         maintain_positions: bool | None = None) -> None:
     """One micro-batch: dedup against the live docs table, tokenize, and
     commit postings + docs + the stream_commits ledger row atomically.
     Module-level (not a closure) so crash/replay tests can drive it
@@ -162,9 +164,16 @@ def process_stream_batch(spark: SparkSession, catalog: Catalog,
     transaction — see _stage_index_segment), so WAND queries serve the
     new docs without a rebuild; bm25/index_cfg must match the base
     build's BM25Config (the bound semantics) — IndexConfig may differ,
-    chunk metadata is self-describing per row."""
+    chunk metadata is self-describing per row.  maintain_positions:
+    None (default) auto-detects — a catalog whose base build opted into
+    the positional index (BuildConfig.positions) keeps it current per
+    batch, atomically with postings/docs, so phrase queries never
+    silently miss streamed docs; True forces it (streaming-only
+    positional cold start), False opts out."""
     if _batch_committed(spark, catalog, stream_id, batch_id):
         return                                  # replayed batch: no-op
+    if maintain_positions is None:
+        maintain_positions = catalog.table_exists("positions")
     cleaned = defrag_and_filter(batch_df)
     if catalog.table_exists("docs"):
         # dedup against LIVE docs only: a tombstoned (taken-down) url
@@ -181,7 +190,7 @@ def process_stream_batch(spark: SparkSession, catalog: Catalog,
     ranked, handle = dedup_assign_ids(cleaned, ["url", "warc_ts", "html"])
     with_ids = ranked.withColumn(
         "doc_id", (F.col("doc_id") + F.lit(base)).cast("long"))
-    tok = tokenize(with_ids).persist()
+    tok = tokenize(with_ids, positions=maintain_positions).persist()
     try:
         docs = docs_table(tok)
         n_docs = docs.count()
@@ -192,6 +201,8 @@ def process_stream_batch(spark: SparkSession, catalog: Catalog,
         postings = postings_from_tokenized(tok)
         txn.append(postings, "postings")
         txn.append(docs, "docs")
+        if maintain_positions:
+            txn.append(positions_from_tokenized(tok), "positions")
         txn.append_rows(spark, "stream_commits",
                         [(stream_id, batch_id, n_docs, now)], STREAM_COMMITS)
         if maintain_index:
@@ -211,7 +222,8 @@ def incremental_index_update(spark: SparkSession, catalog: Catalog,
                              compact_max_files: int | None = None,
                              maintain_index: bool = False,
                              bm25: BM25Config = BM25Config(),
-                             index_cfg: IndexConfig = IndexConfig()):
+                             index_cfg: IndexConfig = IndexConfig(),
+                             maintain_positions: bool | None = None):
     """Drain new corpus files from input_dir into postings/docs.
     Returns the finished StreamingQuery (availableNow trigger).
     ``stream_id`` defaults to the checkpoint path — the identity the
@@ -226,7 +238,8 @@ def incremental_index_update(spark: SparkSession, catalog: Catalog,
     def process_batch(batch_df: DataFrame, batch_id: int):
         process_stream_batch(spark, catalog, sid, batch_df, batch_id,
                              maintain_index=maintain_index,
-                             bm25=bm25, index_cfg=index_cfg)
+                             bm25=bm25, index_cfg=index_cfg,
+                             maintain_positions=maintain_positions)
         if compact_max_files is not None:
             _maybe_compact(spark, catalog, compact_max_files)
 

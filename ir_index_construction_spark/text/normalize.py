@@ -91,6 +91,33 @@ def doc_term_stats(zones, stemmer=None) -> dict:
     return acc
 
 
+def doc_term_positions(zones, stemmer=None) -> dict:
+    """Positional twin of ``doc_term_stats``: per-document
+    (term -> [tf, imp, positions]) where ``positions`` are 0-based
+    ordinals in the document's KEPT token stream (zones concatenated in
+    document order; invalid tokens do not consume a position — the
+    Lucene-style convention, so phrase adjacency means "adjacent among
+    indexed tokens").  tf == len(positions) by construction, and the
+    position counter's final value equals dl, so a positional build's
+    postings are bit-identical to ``doc_term_stats``'s."""
+    if stemmer is None:
+        stemmer = make_cached_stemmer()
+    acc: dict = {}
+    pos = 0
+    for zone_text, weight in zones:
+        for token in tokenize_stem_filter(index_normalize(zone_text), stemmer):
+            entry = acc.get(token)
+            if entry is None:
+                acc[token] = [1, weight, [pos]]
+            else:
+                entry[0] += 1
+                if weight > entry[1]:
+                    entry[1] = weight
+                entry[2].append(pos)
+            pos += 1
+    return acc
+
+
 # --- URLs (indexer.py:95-107, 126-150) --------------------------------------
 
 _EXT_BLACKLIST = re.compile(

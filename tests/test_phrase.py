@@ -1,0 +1,269 @@
+"""Positional index + exact-phrase retrieval (BuildConfig.positions).
+
+1. The positional tokenizer's tf/imp/dl are bit-identical to the plain
+   pass, and positions are consistent (tf == len(positions), counter
+   ends at dl).
+2. phrase_topk_indexed over a positional catalog build matches an
+   independent brute-force scan of every document's kept-token stream
+   (count of adjacent-window matches + BM25 virtual-term scoring).
+3. A streaming drain keeps the positions table current (auto-detected),
+   so phrase queries see streamed docs.
+4. Tombstoned docs are masked from phrase results (exclude_ids) and
+   physically gone after purge — in the same transaction as docs/
+   postings.
+5. The plural (catalog) and flat (oracle-tier) layouts agree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ir_index_construction_spark.config import BM25Config, small_scale
+from ir_index_construction_spark.plans.builder import IndexBuilder
+from ir_index_construction_spark.plans.query import phrase_topk_indexed
+from ir_index_construction_spark.schemas import DOCUMENTS
+from ir_index_construction_spark.sources.catalog import Catalog
+from ir_index_construction_spark.text.extract import extract_text_and_zones
+from ir_index_construction_spark.text.normalize import (
+    doc_term_positions,
+    doc_term_stats,
+    index_normalize,
+    parse_query,
+    tokenize_stem_filter,
+)
+
+CFG = dataclasses.replace(small_scale(), positions=True)
+K1, B = 1.2, 0.75
+
+
+def _kept_stream(html: bytes) -> list:
+    """Independent reconstruction of a doc's kept-token stream (the
+    position convention: zones in document order, invalid tokens skip)."""
+    if html is None:
+        return []
+    _, zones = extract_text_and_zones(html)
+    out = []
+    for zone_text, _w in zones:
+        out.extend(tokenize_stem_filter(index_normalize(zone_text)))
+    return out
+
+
+def _brute_phrase(stream: list, terms: list) -> int:
+    m = len(terms)
+    return sum(1 for i in range(len(stream) - m + 1)
+               if stream[i:i + m] == terms)
+
+
+@pytest.fixture(scope="module")
+def pos_build(spark, documents_df, tmp_path_factory):
+    cat = Catalog(str(tmp_path_factory.mktemp("cat_pos")))
+    IndexBuilder(cat, CFG, n_batches=2).build(documents_df)
+    return cat
+
+
+def _phrase_frames(spark, cat):
+    stats = cat.read(spark, "stats").collect()[0]
+    return (cat.read(spark, "positions"), cat.read(spark, "docs"),
+            int(stats["n_docs"]), float(stats["avgdl"]))
+
+
+def _brute_topk(spark, cat, corpus_rows, query, k=10, exclude=()):
+    """Brute-force phrase top-k from the raw corpus + the catalog's own
+    docs/stats tables (url -> doc identity via kept-stream length)."""
+    terms = parse_query(query)[0]
+    positions, docs, n_docs, avgdl = _phrase_frames(spark, cat)
+    streams: dict = {}
+    for row in corpus_rows:
+        streams.setdefault(row["url"], []).append(_kept_stream(row["html"]))
+    hits = []
+    for r in docs.collect():
+        if r["doc_id"] in exclude:
+            continue
+        cands = [s for s in streams.get(r["url"], [])
+                 if len(s) == r["doc_len"]]
+        assert cands, f"no corpus row reproduces doc_len for {r['url']}"
+        ptf = _brute_phrase(cands[0], terms)
+        if ptf:
+            hits.append((r["doc_id"], r["url"], ptf, r["doc_len"]))
+    if not hits:
+        return []
+    df_p = len(hits)
+    idf = math.log((n_docs - df_p + 0.5) / (df_p + 0.5) + 1.0)
+    scored = [
+        (doc_id, url, ptf,
+         idf * (ptf * (K1 + 1.0))
+         / (ptf + K1 * ((1.0 - B) + B * (dl / avgdl))))
+        for doc_id, url, ptf, dl in hits
+    ]
+    scored.sort(key=lambda t: (-t[3], t[0]))
+    return scored[:k]
+
+
+def test_positional_stats_bit_identical():
+    html = (b"<html><title>Machine Learning 2024</title><body>"
+            b"machine learning for ENSG000 retrieval 1e5 systems; "
+            b"machine learning again</body></html>")
+    _, zones = extract_text_and_zones(html)
+    plain = doc_term_stats(zones)
+    positional = doc_term_positions(zones)
+    assert set(plain) == set(positional)
+    n_kept = 0
+    for t, (tf, imp) in plain.items():
+        ptf, pimp, pos = positional[t]
+        assert (tf, imp) == (ptf, pimp)
+        assert tf == len(pos)
+        assert pos == sorted(pos)
+        n_kept += tf
+    all_pos = sorted(p for _, _, ps in positional.values() for p in ps)
+    assert all_pos == list(range(n_kept))   # counter == dl, no gaps
+
+
+def test_positional_build_postings_match_plain(spark, documents_df,
+                                               tmp_path):
+    plain_cat = Catalog(str(tmp_path / "cat_plain"))
+    IndexBuilder(plain_cat, small_scale(), n_batches=2).build(documents_df)
+    pos_cat = Catalog(str(tmp_path / "cat_pos2"))
+    IndexBuilder(pos_cat, CFG, n_batches=2).build(documents_df)
+    a = plain_cat.read(spark, "postings")
+    b = pos_cat.read(spark, "postings")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    # positions table agrees with postings on (term, doc, tf)
+    pos = pos_cat.read(spark, "positions").select(
+        "term", "doc_id", F.size("positions").alias("tf"))
+    flat = b.select("term", "doc_id", "tf")
+    assert pos.exceptAll(flat).isEmpty() and flat.exceptAll(pos).isEmpty()
+
+
+# phrases that occur adjacently in the synthetic corpus (plus a
+# duplicate-term phrase — both offsets hit the same term's positions —
+# a trigram, and a guaranteed miss)
+PHRASES = ["research development", "of the", "the the", "the and the",
+           "nonexistent ghost phrase"]
+
+
+def test_phrase_indexed_matches_bruteforce(spark, pos_build, corpus_rows):
+    positions, docs, n_docs, avgdl = _phrase_frames(spark, pos_build)
+    n_hits = 0
+    for q in PHRASES:
+        got = phrase_topk_indexed(
+            positions, docs, q, n_docs, avgdl, k=10).orderBy("rank").collect()
+        want = _brute_topk(spark, pos_build, corpus_rows, q, k=10)
+        assert len(got) == len(want), q
+        n_hits += len(got)
+        for g, w in zip(got, want):
+            assert (g["doc_id"], g["url"], g["ptf"]) == w[:3], q
+            assert g["score"] == pytest.approx(w[3], abs=1e-9), q
+    assert n_hits >= 3 * 10   # the corpus-derived phrases really match
+
+
+def test_phrase_respects_kept_token_adjacency(spark, pos_build):
+    """Tokens separated only by DROPPED tokens are adjacent in position
+    space: '<a> 1e5 <b>' matches phrase 'a b' (1e5 is filtered out)."""
+    positions, docs, n_docs, avgdl = _phrase_frames(spark, pos_build)
+    # craft a micro-catalog inline: two docs, one with a dropped token
+    # between the phrase words, one with a KEPT token between them
+    rows = [("alpha 1e5 beta", 1), ("alpha gamma beta", 2)]
+    pos_df = spark.createDataFrame(
+        [(t, i, [p]) for text, i in rows
+         for p, t in enumerate(tokenize_stem_filter(index_normalize(text)))],
+        "term string, doc_id long, positions array<int>")
+    pos_df = (pos_df.groupBy("term", "doc_id")
+              .agg(F.flatten(F.collect_list("positions")).alias("positions")))
+    doc_df = spark.createDataFrame(
+        [(1, "u1", 2), (2, "u2", 3)], "doc_id long, url string, doc_len int")
+    got = phrase_topk_indexed(pos_df, doc_df, "alpha beta", 2, 2.5,
+                              k=10).collect()
+    assert [r["doc_id"] for r in got] == [1]
+
+
+def test_streaming_drain_maintains_positions(spark, pos_build, corpus_rows,
+                                             tmp_path):
+    from ir_index_construction_spark.streaming import incremental_index_update
+
+    phrase = "zebra quartz phrase canary"
+    stems = parse_query(phrase)[0]
+    html = ("<html><body>filler words before zebra quartz phrase canary "
+            "and after tail</body></html>").encode()
+    new_rows = [{"url": "https://stream.example.org/canary",
+                 "warc_ts": dt.datetime(2024, 5, 1), "html": html,
+                 "text": None, "lang": "en"}]
+    before_n = pos_build.read(spark, "positions").count()
+    inp = tmp_path / "in"
+    inp.mkdir()
+    spark.createDataFrame(new_rows, DOCUMENTS).write.mode(
+        "overwrite").parquet(str(inp / "b0.parquet"))
+    incremental_index_update(spark, pos_build, str(inp) + "/*",
+                             str(tmp_path / "ckpt"))
+    positions, docs, n_docs, avgdl = _phrase_frames(spark, pos_build)
+    assert positions.count() > before_n
+    got = phrase_topk_indexed(positions, docs, phrase, n_docs, avgdl,
+                              k=5).collect()
+    assert [r["url"] for r in got] == ["https://stream.example.org/canary"]
+    assert got[0]["ptf"] == 1
+    # the streamed doc's positions honor the convention (independent check)
+    streamed = positions.join(
+        docs.filter(F.col("url").contains("canary")).select("doc_id"),
+        "doc_id").collect()
+    stream = _kept_stream(html)
+    want = {}
+    for p, t in enumerate(stream):
+        want.setdefault(t, []).append(p)
+    assert {r["term"]: sorted(r["positions"]) for r in streamed} == want
+    assert stems != []
+
+
+def test_phrase_tombstone_then_purge(spark, documents_df, corpus_rows,
+                                     tmp_path):
+    from ir_index_construction_spark.plans.maintenance import (
+        purge_tombstones, tombstone_urls)
+
+    cat = Catalog(str(tmp_path / "cat_tomb"))
+    IndexBuilder(cat, CFG, n_batches=1).build(documents_df)
+    positions, docs, n_docs, avgdl = _phrase_frames(spark, cat)
+    q = "research development"
+    base = phrase_topk_indexed(positions, docs, q, n_docs, avgdl,
+                               k=5).collect()
+    assert base
+    victim_id, victim_url = base[0]["doc_id"], base[0]["url"]
+    assert tombstone_urls(spark, cat, [victim_url]) >= 1
+    dead = {r["doc_id"] for r in
+            cat.read(spark, "doc_tombstones").select("doc_id").collect()}
+    masked = phrase_topk_indexed(positions, docs, q, n_docs, avgdl, k=5,
+                                 exclude_ids=dead).collect()
+    assert victim_id not in [r["doc_id"] for r in masked]
+    want = _brute_topk(spark, cat, corpus_rows, q, k=5, exclude=dead)
+    assert [(r["doc_id"], r["ptf"]) for r in masked] == \
+        [(w[0], w[2]) for w in want]
+    purge_tombstones(spark, cat)
+    pos2 = cat.read(spark, "positions")
+    assert pos2.filter(F.col("doc_id") == victim_id).isEmpty()
+    docs2 = cat.read(spark, "docs")
+    after = phrase_topk_indexed(pos2, docs2, q, n_docs, avgdl, k=5).collect()
+    assert [(r["doc_id"], r["ptf"]) for r in after] == \
+        [(r["doc_id"], r["ptf"]) for r in masked]
+
+
+def test_plural_and_flat_layouts_agree(spark, pos_build):
+    """proximity/phrase matchers give identical results whether positions
+    come nested per (term, doc) — the catalog layout — or one row per
+    occurrence — the oracle-tier layout."""
+    from ir_index_construction_spark.operators.phrase import (
+        phrase_match, proximity_match)
+
+    positions = pos_build.read(spark, "positions")
+    flat = positions.select(
+        "term", "doc_id", F.explode("positions").alias("pos"))
+    terms = parse_query("research development")[0]
+    a = phrase_match(positions, terms, pos_col="positions", plural=True)
+    b = phrase_match(flat, terms)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    pa = proximity_match(positions, terms[0], terms[1], 3,
+                         pos_col="positions", plural=True)
+    pb = proximity_match(flat, terms[0], terms[1], 3)
+    assert pa.exceptAll(pb).isEmpty() and pb.exceptAll(pa).isEmpty()
+    assert not a.isEmpty() and not pa.isEmpty()
