@@ -5,7 +5,7 @@ the ranked URLs and the elapsed milliseconds until an empty line quits).
 
     spark-submit --py-files dist/engine.zip tools/submit_query.py \
         --catalog /data/index_catalog [--query "machine learning"] [-k 10]
-        [--mode wand|exhaustive] [--weighted] [--batch queries.txt]
+        [--mode wand|exhaustive|phrase] [--weighted] [--batch queries.txt]
 
 --batch FILE evaluates every line of FILE as one query in a SINGLE
 Spark job (operators/topk.py wand_topk_batch) and prints per-query
@@ -60,7 +60,7 @@ class QueryService:
                 "docs": self.cat.read(self.spark, "docs"),
                 "dictionary": self.cat.read(self.spark, "dictionary"),
             }
-            for t in ("index", "postings"):
+            for t in ("index", "postings", "positions"):
                 if self.cat.table_exists(t):
                     self._f[t] = self.cat.read(self.spark, t)
             # tombstoned doc_ids (plans/maintenance.py): bounded by
@@ -89,9 +89,22 @@ class QueryService:
     def run(self, query: str, k: int, mode: str, weighted: bool):
         from ir_index_construction_spark.operators.topk import wand_topk
         from ir_index_construction_spark.plans.query import (
-            bm25_topk_exhaustive)
+            bm25_topk_exhaustive, phrase_topk_indexed)
 
         f, idf_cache = self._refresh()
+        # a fully-quoted query is an exact-phrase search (requires a
+        # positional build — BuildConfig.positions); tombstones apply
+        # exactly as in the other modes
+        quoted = len(query) >= 2 and query[0] == query[-1] == '"'
+        if mode == "phrase" or quoted:
+            if "positions" not in self._f:
+                raise SystemExit(
+                    "phrase queries need a positional index: rebuild the "
+                    "catalog with BuildConfig(positions=True)")
+            return phrase_topk_indexed(
+                f["positions"], f["docs"], query.strip('"'),
+                f["n_docs"], f["avgdl"], k=k,
+                exclude_ids=f["exclude_ids"])
         if mode == "wand":
             return wand_topk(f["index"], f["dictionary"], f["docs"],
                              query, f["n_docs"], f["avgdl"], k=k,
@@ -118,7 +131,11 @@ def main():
     ap.add_argument("--query", default=None,
                     help="one-shot query; omit for the interactive REPL")
     ap.add_argument("-k", type=int, default=10)
-    ap.add_argument("--mode", choices=["wand", "exhaustive"], default="wand")
+    ap.add_argument("--mode", choices=["wand", "exhaustive", "phrase"],
+                    default="wand",
+                    help="phrase = exact-phrase top-k over the positional "
+                         "index; a \"double-quoted\" query selects it "
+                         "automatically")
     ap.add_argument("--weighted", action="store_true",
                     help="rank by BM25 x tag-importance (imp/10)")
     ap.add_argument("--batch", default=None, metavar="FILE",
