@@ -409,6 +409,22 @@ def main():
                 lat_ph.append(time.time() - t1)
         timings["phrase_p50"] = round(statistics.median(lat_ph), 4)
         extras["lat_phrase"] = [round(x, 3) for x in lat_ph]
+
+        # 50-phrase workload in ONE plan (phrase_match_batch): the
+        # phrase twin of wand_batch100 — seeded head-term bigrams, so
+        # the pruned scan carries real postings volume even when a
+        # random pair never occurs adjacently
+        from ir_index_construction_spark.plans.query import phrase_topk_batch
+
+        rng_ph = _random.Random(11)
+        pre_ph = {f"ph{i:02d}": rng_ph.sample(head_terms, 2)
+                  for i in range(50)}
+        timed("phrase_batch50", lambda: phrase_topk_batch(
+            positions, pdocs, {q: " ".join(t) for q, t in pre_ph.items()},
+            built.n_docs, built.avgdl, k=10, pre_parsed=pre_ph,
+        ).collect(), reps=2)
+        extras["phrase_batch50_ms_per_query"] = round(
+            timings["phrase_batch50"] * 1000.0 / 50, 2)
         positions.unpersist()
         pdocs.unpersist()
 

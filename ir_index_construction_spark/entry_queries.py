@@ -1946,6 +1946,95 @@ FROM m WHERE min_dist <= {PROX_WINDOW}
 ORDER BY rank LIMIT 15
 """
 
+# batched phrase workload (q49): every phrase scored in ONE plan via the
+# relational start-position formulation — a start s matches query q in
+# doc d iff grouping the (q, d, pos - offset) rows sees ALL of q's
+# offsets.  The Spark side is operators/phrase.phrase_match_batch + an
+# in-plan per-query BM25 virtual-term scorer; idf comes from a window
+# count so the whole workload is one job.
+PHRASE_BATCH = {"p0": ("query", "scan"), "p1": ("table", "value"),
+                "p2": ("hash", "join")}
+
+
+def q_phrase_batch(spark, sf_dir):
+    from .operators.phrase import phrase_match_batch, token_positions
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pos = token_positions(docs)
+    n_docs = docs.count()
+    total_tokens = pos.count()
+    avgdl = total_tokens / n_docs
+    occ = phrase_match_batch(pos, {q: list(t)
+                                   for q, t in PHRASE_BATCH.items()})
+    dl = pos.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    qwin = Window.partitionBy("query_id")
+    scored = (
+        occ.join(dl, "doc_id")
+        .withColumn("df_p", F.count("*").over(qwin).cast("double"))
+        .withColumn("idf", F.log(
+            (F.lit(float(n_docs)) - F.col("df_p") + 0.5)
+            / (F.col("df_p") + 0.5) + 1.0))
+        .withColumn("score", F.round(
+            F.col("idf") * (F.col("ptf") * F.lit(K1 + 1.0))
+            / (F.col("ptf") + F.lit(K1) * (F.lit(1.0 - B)
+               + F.lit(B) * (F.col("dl") / F.lit(avgdl)))), 6))
+    )
+    rwin = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(rwin).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "doc_id", "ptf", "score")
+    )
+
+
+def _sql_phrase_batch() -> str:
+    qmap = ", ".join(
+        f"('{qid}', '{t}', {i})"
+        for qid, terms in PHRASE_BATCH.items() for i, t in enumerate(terms))
+    mrows = ", ".join(f"('{qid}', {len(terms)})"
+                      for qid, terms in PHRASE_BATCH.items())
+    return f"""
+WITH {SQL_POS},
+qmap(query_id, term, off) AS (VALUES {qmap}),
+qm(query_id, m) AS (VALUES {mrows}),
+starts AS (
+    SELECT q.query_id, p.doc_id, p.pos - q.off AS start
+    FROM pos2 p JOIN qmap q ON p.term = q.term
+    GROUP BY 1, 2, 3
+    HAVING count(DISTINCT q.off) = (SELECT m FROM qm
+                                    WHERE qm.query_id = q.query_id)
+),
+occ AS (
+    SELECT query_id, doc_id, count(*)::BIGINT AS ptf
+    FROM starts GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM pos2 GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM pos2)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+scored AS (
+    SELECT o.query_id, o.doc_id, o.ptf,
+           round(ln((c.n_docs - (count(*) OVER (PARTITION BY o.query_id))
+                                ::DOUBLE + 0.5)
+                    / ((count(*) OVER (PARTITION BY o.query_id))::DOUBLE
+                       + 0.5) + 1.0)
+                 * ((o.ptf * {K1 + 1.0}) /
+                    (o.ptf + {K1} * ({1.0 - B} + {B} * (d.dl / c.avgdl)))),
+                 6) AS score
+    FROM occ o JOIN dl d USING (doc_id) CROSS JOIN consts c
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, ptf, score
+FROM scored
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+"""
+
 
 # ---------------------------------------------------------------------------
 # registry
@@ -2001,6 +2090,7 @@ def queries() -> dict:
         "q46_token_budget": q_token_budget,
         "q47_phrase_topk": q_phrase_topk,
         "q48_proximity": q_proximity,
+        "q49_phrase_batch": q_phrase_batch,
     }
 
 
@@ -2055,4 +2145,5 @@ def oracle_sql() -> dict:
         "q46_token_budget": _sql_token_budget(),
         "q47_phrase_topk": SQL_PHRASE_TOPK,
         "q48_proximity": SQL_PROXIMITY,
+        "q49_phrase_batch": _sql_phrase_batch(),
     }

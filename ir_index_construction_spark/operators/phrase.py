@@ -127,6 +127,49 @@ def proximity_match(positions: DataFrame, term_a: str, term_b: str,
     )
 
 
+def phrase_match_batch(positions: DataFrame, phrases: dict,
+                       pos_col: str = "pos",
+                       plural: bool = False) -> DataFrame:
+    """(query_id, doc_id, ptf) for a whole phrase WORKLOAD in one plan.
+
+    Relational start-position formulation (equivalent to the
+    array_intersect path, proven row-identical in pytest): a start s is
+    a phrase occurrence for query q iff every (term_i, s+i) of q is
+    present, i.e. grouping the (qid, doc, pos - offset) rows must see
+    ALL of q's offsets.  One pruned scan serves every phrase; the only
+    wide exchanges are the two hash aggs, keyed on (qid, doc, start)
+    then (qid, doc) — both partial-agg'd map-side.  The term->(qid,
+    offset) map is broadcast (bounded by total workload terms)."""
+    spark = positions.sparkSession
+    qmap = [(qid, t, i) for qid, terms in phrases.items()
+            for i, t in enumerate(terms)]
+    qmap_df = F.broadcast(spark.createDataFrame(
+        qmap, "query_id string, term string, offset int"))
+    m_df = F.broadcast(spark.createDataFrame(
+        [(qid, len(terms)) for qid, terms in phrases.items()],
+        "query_id string, m int"))
+    all_terms = sorted({t for _, t, _ in qmap})
+    j = positions.filter(F.col("term").isin(all_terms)).join(qmap_df, "term")
+    if plural:
+        j = j.select("query_id", "doc_id", "offset",
+                     F.explode(pos_col).alias("p"))
+    else:
+        j = j.select("query_id", "doc_id", "offset",
+                     F.col(pos_col).alias("p"))
+    starts = (
+        j.select("query_id", "doc_id", "offset",
+                 (F.col("p") - F.col("offset")).alias("start"))
+        .groupBy("query_id", "doc_id", "start")
+        .agg(F.countDistinct("offset").alias("_no"))
+        .join(m_df, "query_id")
+        .filter(F.col("_no") == F.col("m"))
+    )
+    return (
+        starts.groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("long").alias("ptf"))
+    )
+
+
 def phrase_bm25_topk(docs: DataFrame, phrase_terms: list, k: int = 10,
                      bm25: BM25Config = BM25Config()) -> DataFrame:
     """Oracle-tier phrase search over a raw documents(doc_id, text)

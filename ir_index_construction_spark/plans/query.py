@@ -125,6 +125,75 @@ class TermStatsCache:
         return self._terms
 
 
+def phrase_topk_batch(
+    positions: DataFrame,
+    docs: DataFrame,
+    queries: dict,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    bm25: BM25Config = BM25Config(),
+    exclude_ids=None,
+    pre_parsed: dict | None = None,
+) -> DataFrame:
+    """Score a whole phrase WORKLOAD in one pass: ``queries`` maps
+    query_id -> phrase string.  Returns (query_id, rank, doc_id, url,
+    ptf, score), rank <= k per query — row- and score-identical to
+    running phrase_topk_indexed per query (pytest-asserted), at a
+    per-phrase cost that amortizes the scan and job floor exactly like
+    wand_topk_batch does for term queries.
+
+    Two jobs for the whole set: (1) per-query matched-doc counts (df_p;
+    one row per query comes back to the driver, so idf is computed with
+    the same Python float ops as the single-phrase path — bit-identical
+    scores), (2) score + per-query rank window, hash-partitioned on
+    query_id.  The phrase->term map is broadcast; the positions scan is
+    pruned to the union of all phrases' terms."""
+    from ..operators.phrase import phrase_match_batch
+
+    spark = positions.sparkSession
+    parsed = pre_parsed if pre_parsed is not None else {
+        qid: parse_query(q)[0] for qid, q in queries.items()}
+    parsed = {qid: list(t) for qid, t in parsed.items() if t}
+    out_schema = ("query_id string, rank int, doc_id long, url string, "
+                  "ptf long, score double")
+    if not parsed or n_docs == 0 or avgdl == 0:
+        return spark.createDataFrame([], out_schema)
+    if exclude_ids:
+        dead = spark.createDataFrame(
+            [(int(i),) for i in sorted(exclude_ids)], "doc_id long")
+        positions = positions.join(F.broadcast(dead), "doc_id", "left_anti")
+    occ = phrase_match_batch(positions, parsed,
+                             pos_col="positions", plural=True)
+    dfp = {r["query_id"]: r["df_p"] for r in
+           occ.groupBy("query_id").agg(F.count("*").alias("df_p")).collect()}
+    if not dfp:
+        return spark.createDataFrame([], out_schema)
+    idf_df = F.broadcast(spark.createDataFrame(
+        [(qid, math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+         for qid, df in dfp.items()],
+        "query_id string, idf double"))
+    k1, b = bm25.k1, bm25.b
+    w = (F.col("ptf") * F.lit(k1 + 1.0)) / (
+        F.col("ptf")
+        + F.lit(k1) * (F.lit(1.0 - b)
+                       + F.lit(b) * (F.col("doc_len") / F.lit(avgdl)))
+    )
+    scored = (
+        occ.join(idf_df, "query_id")
+        .join(docs.select("doc_id", "url", "doc_len"), "doc_id")
+        .select("query_id", "doc_id", "url", "ptf",
+                (F.col("idf") * w).alias("score"))
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "url", "ptf", "score")
+    )
+
+
 def query_term_idf(spark: SparkSession, dictionary: DataFrame, terms,
                    n_docs: int, cache: dict | None = None) -> dict:
     """Driver-side df lookup for the query terms (a semi-join of a

@@ -248,6 +248,46 @@ def test_phrase_tombstone_then_purge(spark, documents_df, corpus_rows,
         [(r["doc_id"], r["ptf"]) for r in masked]
 
 
+def test_phrase_batch_matches_single(spark, pos_build):
+    """phrase_topk_batch (one plan for the workload, relational
+    start-position formulation + in-plan rank window) is row- AND
+    score-identical to phrase_topk_indexed per phrase (array_intersect
+    formulation, per-query jobs)."""
+    from ir_index_construction_spark.plans.query import phrase_topk_batch
+
+    positions, docs, n_docs, avgdl = _phrase_frames(spark, pos_build)
+    queries = {f"p{i}": q for i, q in enumerate(PHRASES)}
+    got = phrase_topk_batch(positions, docs, queries, n_docs, avgdl,
+                            k=7).collect()
+    by_qid: dict = {}
+    for r in got:
+        by_qid.setdefault(r["query_id"], []).append(r)
+    n_nonempty = 0
+    for qid, q in queries.items():
+        single = phrase_topk_indexed(positions, docs, q, n_docs, avgdl,
+                                     k=7).orderBy("rank").collect()
+        batch = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
+        assert [(r["rank"], r["doc_id"], r["url"], r["ptf"], r["score"])
+                for r in batch] == \
+               [(r["rank"], r["doc_id"], r["url"], r["ptf"], r["score"])
+                for r in single], qid          # scores bit-identical
+        n_nonempty += bool(single)
+    assert n_nonempty >= 3
+
+
+def test_phrase_batch_respects_exclusions(spark, pos_build):
+    from ir_index_construction_spark.plans.query import phrase_topk_batch
+
+    positions, docs, n_docs, avgdl = _phrase_frames(spark, pos_build)
+    q = {"a": "of the"}
+    base = phrase_topk_batch(positions, docs, q, n_docs, avgdl, k=3).collect()
+    assert base
+    dead = {base[0]["doc_id"]}
+    masked = phrase_topk_batch(positions, docs, q, n_docs, avgdl, k=3,
+                               exclude_ids=dead).collect()
+    assert dead.isdisjoint({r["doc_id"] for r in masked}) and masked
+
+
 def test_plural_and_flat_layouts_agree(spark, pos_build):
     """proximity/phrase matchers give identical results whether positions
     come nested per (term, doc) — the catalog layout — or one row per
@@ -267,3 +307,20 @@ def test_plural_and_flat_layouts_agree(spark, pos_build):
     pb = proximity_match(flat, terms[0], terms[1], 3)
     assert pa.exceptAll(pb).isEmpty() and pb.exceptAll(pa).isEmpty()
     assert not a.isEmpty() and not pa.isEmpty()
+
+
+def test_batch_matcher_equals_array_matcher(spark, pos_build):
+    """The relational start-position formulation (phrase_match_batch)
+    and the offset-shifted array_intersect formulation (phrase_match)
+    produce identical (doc_id, ptf) sets for every phrase."""
+    from ir_index_construction_spark.operators.phrase import (
+        phrase_match, phrase_match_batch)
+
+    positions = pos_build.read(spark, "positions")
+    phrases = {f"p{i}": parse_query(q)[0] for i, q in enumerate(PHRASES)}
+    batch = phrase_match_batch(positions, phrases,
+                               pos_col="positions", plural=True)
+    for qid, terms in phrases.items():
+        a = phrase_match(positions, terms, pos_col="positions", plural=True)
+        b = batch.filter(F.col("query_id") == qid).select("doc_id", "ptf")
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), qid
