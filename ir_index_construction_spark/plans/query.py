@@ -46,10 +46,19 @@ def phrase_topk_indexed(
     bm25: BM25Config = BM25Config(),
     exclude_ids=None,
     pre_parsed: list | None = None,
+    df_cache: dict | None = None,
 ) -> DataFrame:
     """Exact-phrase top-k over the catalog's positional index
     (BuildConfig.positions).  Returns PHRASE_TOPK (rank, doc_id, url,
     ptf, score).
+
+    ``df_cache`` (caller-owned, snapshot-bound — same contract as
+    ``idf_cache`` on the term paths): maps a phrase's term tuple to its
+    matched-doc count, so a long-lived query service pays the df_p job
+    once per phrase lifetime and a steady-state phrase query runs ONE
+    Spark job (match + score + rank).  The cache is only valid for one
+    immutable catalog state (tombstoning commits a new snapshot, so
+    exclusion changes invalidate it with it).
 
     The query is normalized + stemmed with the SAME parse the OR/AND
     paths use, so a phrase matches exactly when its words would match as
@@ -82,7 +91,13 @@ def phrase_topk_indexed(
         positions = positions.join(F.broadcast(dead), "doc_id", "left_anti")
     matched = phrase_match(positions, list(terms),
                            pos_col="positions", plural=True)
-    df_p = matched.count()
+    key = tuple(terms)
+    if df_cache is not None and key in df_cache:
+        df_p = df_cache[key]
+    else:
+        df_p = matched.count()
+        if df_cache is not None:
+            df_cache[key] = df_p
     if df_p == 0:
         return spark.createDataFrame([], PHRASE_TOPK)
     idf = math.log((n_docs - df_p + 0.5) / (df_p + 0.5) + 1.0)

@@ -275,6 +275,26 @@ def test_phrase_batch_matches_single(spark, pos_build):
     assert n_nonempty >= 3
 
 
+def test_phrase_df_cache_identical_results(spark, pos_build):
+    """A seeded df_cache (the query service's steady state — one Spark
+    job per phrase) returns bit-identical results to the uncached path,
+    and caches the zero-match phrases too (negative caching)."""
+    positions, docs, n_docs, avgdl = _phrase_frames(spark, pos_build)
+    cache: dict = {}
+    for q in PHRASES:
+        cold = phrase_topk_indexed(positions, docs, q, n_docs, avgdl,
+                                   k=5, df_cache=cache).collect()
+        warm = phrase_topk_indexed(positions, docs, q, n_docs, avgdl,
+                                   k=5, df_cache=cache).collect()
+        plain = phrase_topk_indexed(positions, docs, q, n_docs, avgdl,
+                                    k=5).collect()
+        rows = lambda rs: [(r["rank"], r["doc_id"], r["ptf"], r["score"])
+                           for r in rs]
+        assert rows(cold) == rows(warm) == rows(plain), q
+    assert len(cache) == len(PHRASES)
+    assert 0 in cache.values()          # the ghost phrase cached as absent
+
+
 def test_phrase_batch_respects_exclusions(spark, pos_build):
     from ir_index_construction_spark.plans.query import phrase_topk_batch
 

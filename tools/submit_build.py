@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--shard-size", type=int, default=1 << 20)
     ap.add_argument("--term-buckets", type=int, default=64)
     ap.add_argument("--salt-buckets", type=int, default=4)
+    ap.add_argument("--positions", action="store_true",
+                    help="also build the positional index (enables "
+                         "exact-phrase / proximity queries; positions "
+                         "commit atomically with each tokenize batch)")
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
 
@@ -47,7 +51,7 @@ def main():
         shard_size=args.shard_size,
         term_buckets=args.term_buckets,
         salt_buckets=args.salt_buckets,
-    ))
+    ), positions=args.positions)
     builder = IndexBuilder(Catalog(args.catalog), cfg,
                            build_id=args.build_id, n_batches=args.batches)
     documents = None if args.resume else spark.read.parquet(args.corpus)

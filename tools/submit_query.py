@@ -46,6 +46,7 @@ class QueryService:
         self.cat = cat
         self._catalog_id = object()      # != any real id -> first refresh
         self._tsc = TermStatsCache()
+        self._psc = TermStatsCache()     # phrase df_p cache (same contract)
         self._f: dict = {}
 
     def _refresh(self):
@@ -104,7 +105,8 @@ class QueryService:
             return phrase_topk_indexed(
                 f["positions"], f["docs"], query.strip('"'),
                 f["n_docs"], f["avgdl"], k=k,
-                exclude_ids=f["exclude_ids"])
+                exclude_ids=f["exclude_ids"],
+                df_cache=self._psc.for_snapshot(self._catalog_id))
         if mode == "wand":
             return wand_topk(f["index"], f["dictionary"], f["docs"],
                              query, f["n_docs"], f["avgdl"], k=k,
