@@ -2036,6 +2036,86 @@ ORDER BY query_id, rank
 """
 
 
+# prefix (wildcard) search (q50): expand the prefix against the
+# dictionary — capped deterministically at the df-heaviest
+# MAX_EXPANSIONS terms (df DESC, term ASC), Lucene's max_expansions
+# contract — then score the expansion as an OR-mode BM25 query.
+PREFIX_Q, MAX_EXPANSIONS = "s", 4
+
+
+def q_prefix_search(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs)
+    n_docs = docs.count()
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = toks.count() / n_docs
+    dictionary = postings.groupBy("term").agg(F.count("*").alias("df"))
+    expansion = (
+        dictionary.filter(F.col("term").startswith(PREFIX_Q))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(MAX_EXPANSIONS)
+        .withColumn("idf", F.log(
+            (F.lit(float(n_docs)) - F.col("df") + 0.5)
+            / (F.col("df") + 0.5) + 1.0))
+    )
+    matches = (
+        postings.join(F.broadcast(expansion.select("term", "idf")), "term")
+        .join(dl, "doc_id")
+    )
+    w = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+    )
+    scores = matches.groupBy("doc_id").agg(
+        F.round(F.sum(F.col("idf") * w), 6).alias("score"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+    topk = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(win).cast("long"))
+        .select("rank", "doc_id", "n_terms", "score")
+    )
+
+
+SQL_PREFIX_SEARCH = f"""
+WITH {SQL_TOKS},
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks2 GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM toks2)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q AS (
+    SELECT d.term, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+    FROM dict d, consts c
+    WHERE d.term LIKE '{PREFIX_Q}%'
+    ORDER BY d.df DESC, d.term ASC
+    LIMIT {MAX_EXPANSIONS}
+),
+scores AS (
+    SELECT p.doc_id,
+           round(sum(q.idf * ((p.tf * {K1 + 1.0}) /
+                 (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))))), 6)
+               AS score,
+           count(*)::BIGINT AS n_terms
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+    GROUP BY p.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, n_terms, score
+FROM scores
+ORDER BY rank
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2091,6 +2171,7 @@ def queries() -> dict:
         "q47_phrase_topk": q_phrase_topk,
         "q48_proximity": q_proximity,
         "q49_phrase_batch": q_phrase_batch,
+        "q50_prefix_search": q_prefix_search,
     }
 
 
@@ -2146,4 +2227,5 @@ def oracle_sql() -> dict:
         "q47_phrase_topk": SQL_PHRASE_TOPK,
         "q48_proximity": SQL_PROXIMITY,
         "q49_phrase_batch": _sql_phrase_batch(),
+        "q50_prefix_search": SQL_PREFIX_SEARCH,
     }

@@ -247,6 +247,52 @@ def query_term_idf(spark: SparkSession, dictionary: DataFrame, terms,
     return {t: cache[t] for t in wanted if cache.get(t) is not None}
 
 
+def expand_prefix(dictionary: DataFrame, prefix: str,
+                  max_expansions: int = 50) -> list:
+    """Dictionary prefix scan -> the df-heaviest matching terms (the
+    expansion set for a wildcard query).  StartsWith pushes into the
+    term-sorted parquet dictionary scan (row-group pruning), df is
+    summed per term (segment-delta dictionaries hold one row per
+    segment), and the cap is deterministic (df DESC, term ASC) —
+    Lucene's max_expansions contract.  The prefix is matched verbatim
+    against the indexed (stemmed) vocabulary: wildcard terms bypass the
+    analyzer, as in every mainstream engine."""
+    if not prefix:
+        return []
+    rows = (
+        dictionary.filter(F.col("term").startswith(prefix))
+        .groupBy("term").agg(F.sum("df").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(max_expansions).collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def prefix_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
+                prefix: str, n_docs: int, avgdl: float, k: int = 10,
+                bm25: BM25Config = BM25Config(), weighted: bool = False,
+                max_expansions: int = 50, idf_cache: dict | None = None,
+                exclude_ids=None, bound_scale=None) -> DataFrame:
+    """Prefix (wildcard) top-k over the compressed index: expand the
+    prefix against the dictionary, then run the expansion as an OR-mode
+    WAND query (pre_parsed bypasses query stemming — the expansion IS
+    the indexed vocabulary).  Two driver steps, both bounded: the
+    expansion collect (<= max_expansions rows) and the regular top-k
+    job; at 100 TB the index scan is pruned to the expansion terms
+    exactly like any multi-term query."""
+    from ..operators.topk import wand_topk
+
+    terms = expand_prefix(dictionary, prefix.lower().rstrip("*"),
+                          max_expansions)
+    spark = index.sparkSession
+    if not terms:
+        return empty_topk(spark)
+    return wand_topk(index, dictionary, docs, "", n_docs, avgdl, k=k,
+                     bm25=bm25, weighted=weighted,
+                     pre_parsed=(terms, False), idf_cache=idf_cache,
+                     exclude_ids=exclude_ids, bound_scale=bound_scale)
+
+
 def bm25_topk_exhaustive(
     postings: DataFrame,
     dictionary: DataFrame,

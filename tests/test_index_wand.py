@@ -479,3 +479,51 @@ def test_query_service_applies_tombstones(spark, tmp_path):
     r3 = svc.run("foo", 10, "exhaustive", False).orderBy("rank").collect()
     assert [(r["rank"], r["doc_id"]) for r in r3] == [(1, 2)]
     assert svc._f["exclude_ids"] is None          # set cleared post-purge
+
+
+def test_prefix_topk_matches_expanded_or_query(built, index_df):
+    """prefix_topk = dictionary expansion (df DESC, term ASC cap) run as
+    an OR-mode WAND query; must be bit-identical to the exhaustive plan
+    over the same pre-parsed expansion, and the cap must bind."""
+    from ir_index_construction_spark.plans.query import (
+        bm25_topk_exhaustive, expand_prefix, prefix_topk)
+
+    for prefix, cap in (("ma", 50), ("s", 3), ("commoncrawl", 50)):
+        terms = expand_prefix(built.dictionary, prefix, cap)
+        dfs = {r["term"]: r["df"] for r in built.dictionary.filter(
+            F.col("term").startswith(prefix)).collect()}
+        want_order = sorted(dfs, key=lambda t: (-dfs[t], t))[:cap]
+        assert terms == want_order
+        assert len(terms) <= cap and all(t.startswith(prefix) for t in terms)
+        got = prefix_topk(index_df, built.dictionary, built.docs, prefix,
+                          built.n_docs, built.avgdl, k=10,
+                          max_expansions=cap).orderBy("rank").collect()
+        # bit-identical to WAND over the same pre-parsed expansion
+        # (prefix_topk IS expansion + OR-mode WAND)
+        want = wand_topk(index_df, built.dictionary, built.docs, "",
+                         built.n_docs, built.avgdl, k=10,
+                         pre_parsed=(terms, False)).orderBy("rank").collect()
+        assert [(r["rank"], r["doc_id"], r["url"], r["score"])
+                for r in got] == \
+               [(r["rank"], r["doc_id"], r["url"], r["score"])
+                for r in want], prefix
+        assert got, prefix                         # non-vacuous
+        # cross-plan check vs the exhaustive scorer: same ranking, scores
+        # equal to float-accumulation-order tolerance (the two plans sum
+        # per-term contributions in different orders — 1 ulp apart)
+        ex = bm25_topk_exhaustive(
+            built.postings, built.dictionary, built.docs, "",
+            built.n_docs, built.avgdl, k=10,
+            pre_parsed=(terms, False)).orderBy("rank").collect()
+        assert [(r["rank"], r["doc_id"], r["url"]) for r in got] == \
+               [(r["rank"], r["doc_id"], r["url"]) for r in ex], prefix
+        for g, e in zip(got, ex):
+            assert g["score"] == pytest.approx(e["score"], abs=1e-9), prefix
+
+
+def test_prefix_topk_no_match_empty(built, index_df, spark):
+    from ir_index_construction_spark.plans.query import prefix_topk
+
+    out = prefix_topk(index_df, built.dictionary, built.docs, "zzzzqq",
+                      built.n_docs, built.avgdl, k=10)
+    assert out.count() == 0

@@ -90,7 +90,7 @@ class QueryService:
     def run(self, query: str, k: int, mode: str, weighted: bool):
         from ir_index_construction_spark.operators.topk import wand_topk
         from ir_index_construction_spark.plans.query import (
-            bm25_topk_exhaustive, phrase_topk_indexed)
+            bm25_topk_exhaustive, phrase_topk_indexed, prefix_topk)
 
         f, idf_cache = self._refresh()
         # a fully-quoted query is an exact-phrase search (requires a
@@ -107,6 +107,15 @@ class QueryService:
                 f["n_docs"], f["avgdl"], k=k,
                 exclude_ids=f["exclude_ids"],
                 df_cache=self._psc.for_snapshot(self._catalog_id))
+        # a single trailing-* token is a prefix (wildcard) query: the
+        # prefix expands against the (stemmed) dictionary and runs as
+        # OR-mode WAND — same tombstone/segment handling as plain WAND
+        if mode == "prefix" or (query.endswith("*") and " " not in query):
+            return prefix_topk(f["index"], f["dictionary"], f["docs"],
+                               query, f["n_docs"], f["avgdl"], k=k,
+                               weighted=weighted, idf_cache=idf_cache,
+                               exclude_ids=f["exclude_ids"],
+                               bound_scale=f["bound_scale"])
         if mode == "wand":
             return wand_topk(f["index"], f["dictionary"], f["docs"],
                              query, f["n_docs"], f["avgdl"], k=k,
@@ -133,11 +142,14 @@ def main():
     ap.add_argument("--query", default=None,
                     help="one-shot query; omit for the interactive REPL")
     ap.add_argument("-k", type=int, default=10)
-    ap.add_argument("--mode", choices=["wand", "exhaustive", "phrase"],
+    ap.add_argument("--mode",
+                    choices=["wand", "exhaustive", "phrase", "prefix"],
                     default="wand",
                     help="phrase = exact-phrase top-k over the positional "
-                         "index; a \"double-quoted\" query selects it "
-                         "automatically")
+                         "index (a \"double-quoted\" query selects it "
+                         "automatically); prefix = wildcard expansion "
+                         "against the dictionary (a single trailing-* "
+                         "token selects it automatically)")
     ap.add_argument("--weighted", action="store_true",
                     help="rank by BM25 x tag-importance (imp/10)")
     ap.add_argument("--batch", default=None, metavar="FILE",
