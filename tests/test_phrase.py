@@ -329,6 +329,67 @@ def test_plural_and_flat_layouts_agree(spark, pos_build):
     assert not a.isEmpty() and not pa.isEmpty()
 
 
+def test_randomized_phrase_fuzz(spark):
+    """Seeded fuzz: 200 random token streams (tiny alphabet, so overlaps
+    and self-overlapping phrases like 'a a' occur) x 25 random phrases
+    (lengths 1-4, duplicate terms allowed) — phrase_match_batch over the
+    plural layout must equal a pure-Python sliding-window count on every
+    (phrase, doc) pair.  One Spark job for the whole grid."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = ["a", "b", "c", "d", "e"]
+    docs = {d: [rng.choice(alphabet) for _ in range(rng.randint(0, 40))]
+            for d in range(200)}
+    phrases = {f"f{i:02d}": [rng.choice(alphabet)
+                             for _ in range(rng.randint(1, 4))]
+               for i in range(25)}
+    rows = []
+    for d, stream in docs.items():
+        byterm: dict = {}
+        for p, t in enumerate(stream):
+            byterm.setdefault(t, []).append(p)
+        rows += [(t, d, ps) for t, ps in byterm.items()]
+    pos_df = spark.createDataFrame(
+        rows, "term string, doc_id long, positions array<int>")
+
+    from ir_index_construction_spark.operators.phrase import (
+        phrase_match_batch)
+
+    got = {(r["query_id"], r["doc_id"]): r["ptf"]
+           for r in phrase_match_batch(pos_df, phrases,
+                                       pos_col="positions",
+                                       plural=True).collect()}
+    want = {}
+    for qid, terms in phrases.items():
+        for d, stream in docs.items():
+            ptf = _brute_phrase(stream, terms)
+            if ptf:
+                want[(qid, d)] = ptf
+    assert got == want
+    assert len(want) > 100          # the grid really exercises matches
+
+    # proximity on the same corpus: seeded (a, b, window) cases vs a
+    # pure-Python pair scan
+    from ir_index_construction_spark.operators.phrase import proximity_match
+
+    for a, b, w in (("a", "b", 1), ("c", "d", 3), ("e", "a", 7)):
+        got_px = {r["doc_id"]: (r["n_pairs"], r["min_dist"])
+                  for r in proximity_match(pos_df, a, b, w,
+                                           pos_col="positions",
+                                           plural=True).collect()}
+        want_px = {}
+        for d, stream in docs.items():
+            pa = [i for i, t in enumerate(stream) if t == a]
+            pb = [i for i, t in enumerate(stream) if t == b]
+            if not pa or not pb:
+                continue
+            dists = [abs(x - y) for x in pa for y in pb]
+            if min(dists) <= w:
+                want_px[d] = (sum(1 for x in dists if x <= w), min(dists))
+        assert got_px == want_px, (a, b, w)
+
+
 def test_batch_matcher_equals_array_matcher(spark, pos_build):
     """The relational start-position formulation (phrase_match_batch)
     and the offset-shifted array_intersect formulation (phrase_match)
