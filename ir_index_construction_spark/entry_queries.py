@@ -2116,6 +2116,81 @@ LIMIT 10
 """
 
 
+# NOT-term exclusion (q51): OR-BM25 over the positive terms, minus every
+# doc containing a negated term — the '-term' query surface.  Exclusion
+# is an anti-join applied BEFORE top-k selection (correct backfill).
+NOT_POS_TERMS, NOT_NEG_TERM = ("data", "query"), "scan"
+
+
+def q_not_query(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs)
+    n_docs = docs.count()
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = toks.count() / n_docs
+    dictionary = postings.groupBy("term").agg(F.count("*").alias("df"))
+    terms = spark.createDataFrame([(t,) for t in NOT_POS_TERMS], "term string")
+    tdf = dictionary.join(F.broadcast(terms), "term").withColumn(
+        "idf", F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                     / (F.col("df") + 0.5) + 1.0))
+    matches = (
+        postings.join(F.broadcast(tdf.select("term", "idf")), "term")
+        .join(dl, "doc_id")
+    )
+    w = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+    )
+    scores = matches.groupBy("doc_id").agg(
+        F.round(F.sum(F.col("idf") * w), 6).alias("score"))
+    neg_docs = (postings.filter(F.col("term") == NOT_NEG_TERM)
+                .select("doc_id").distinct())
+    scores = scores.join(neg_docs, "doc_id", "left_anti")
+    topk = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(win).cast("long"))
+        .select("rank", "doc_id", "score")
+    )
+
+
+SQL_NOT_QUERY = f"""
+WITH {SQL_TOKS},
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks2 GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM toks2)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q AS (
+    SELECT d.term, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+    FROM dict d, consts c
+    WHERE d.term IN {tuple(NOT_POS_TERMS)!r}
+),
+scores AS (
+    SELECT p.doc_id,
+           round(sum(q.idf * ((p.tf * {K1 + 1.0}) /
+                 (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))))), 6)
+               AS score
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+    WHERE p.doc_id NOT IN (SELECT doc_id FROM postings
+                           WHERE term = '{NOT_NEG_TERM}')
+    GROUP BY p.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, score
+FROM scores
+ORDER BY rank
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2172,6 +2247,7 @@ def queries() -> dict:
         "q48_proximity": q_proximity,
         "q49_phrase_batch": q_phrase_batch,
         "q50_prefix_search": q_prefix_search,
+        "q51_not_query": q_not_query,
     }
 
 
@@ -2228,4 +2304,5 @@ def oracle_sql() -> dict:
         "q48_proximity": SQL_PROXIMITY,
         "q49_phrase_batch": _sql_phrase_batch(),
         "q50_prefix_search": SQL_PREFIX_SEARCH,
+        "q51_not_query": SQL_NOT_QUERY,
     }

@@ -306,8 +306,20 @@ def bm25_topk_exhaustive(
     pre_parsed: tuple | None = None,
     idf_cache: dict | None = None,
     exclude_ids=None,
+    negated: list | None = None,
 ) -> DataFrame:
     """Returns TOPK (rank, doc_id, url, score).
+
+    ``negated``: NOT-terms — every doc containing any of them is
+    excluded from the result (query surface: ``-term``, parsed by
+    text/normalize.parse_query_with_negation).  The exclusion is a
+    left-anti join of the scored candidates against a term-pruned
+    postings scan, applied BEFORE top-k selection so backfill is
+    correct.  NOT routes through this exhaustive plan rather than WAND:
+    the excluded-doc set is data-sized (a stopword negation excludes
+    most of the corpus), so it must stay distributed — it cannot ship
+    to the shard scorers as a driver-side set the way the bounded
+    tombstone list (exclude_ids) does.
 
     weighted=True multiplies each (term, doc) contribution by imp/10 —
     BM25 x tag-importance, the reference's zone-weighted ranking
@@ -364,6 +376,12 @@ def bm25_topk_exhaustive(
     )
     if is_bool:
         scores = scores.filter(F.col("_nt") == len(present))
+    if negated:
+        neg_docs = (
+            postings.filter(F.col("term").isin(sorted(set(negated))))
+            .select("doc_id").distinct()
+        )
+        scores = scores.join(neg_docs, "doc_id", "left_anti")
 
     topk = (
         scores.select("doc_id", "score")

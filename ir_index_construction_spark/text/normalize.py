@@ -171,3 +171,20 @@ def parse_query(query: str):
     if "AND" in split_text:
         return [t for t in tokens if t != "and"], True
     return tokens, False
+
+
+def parse_query_with_negation(query: str):
+    """Beyond-reference query surface: ``-token`` words are NEGATIONS
+    (docs containing them are excluded).  Returns (terms, is_bool,
+    neg_terms).  Negations must be split off BEFORE query_normalize —
+    it strips punctuation, so the minus sign would silently vanish (a
+    '-scan' query would otherwise SCORE the term it meant to exclude).
+    Both halves then go through the reference parse/stem path, so
+    positive-term semantics are untouched (parse_query is the
+    compatibility contract and stays as-is)."""
+    raw = query.split()
+    neg_raw = " ".join(w[1:] for w in raw if w.startswith("-") and len(w) > 1)
+    pos_raw = " ".join(w for w in raw if not w.startswith("-"))
+    terms, is_bool = parse_query(pos_raw)
+    neg_terms, _ = parse_query(neg_raw)
+    return terms, is_bool, neg_terms

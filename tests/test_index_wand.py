@@ -527,3 +527,50 @@ def test_prefix_topk_no_match_empty(built, index_df, spark):
     out = prefix_topk(index_df, built.dictionary, built.docs, "zzzzqq",
                       built.n_docs, built.avgdl, k=10)
     assert out.count() == 0
+
+
+def test_parse_query_with_negation():
+    from ir_index_construction_spark.text.normalize import (
+        parse_query, parse_query_with_negation)
+
+    terms, is_bool, neg = parse_query_with_negation(
+        "machine learning -running")
+    assert (terms, is_bool) == parse_query("machine learning")
+    assert neg == parse_query("running")[0]
+    terms, is_bool, neg = parse_query_with_negation(
+        "software AND engineering -master -2024")
+    assert is_bool and neg == ["master", "2024"]
+    # negation-only query scores nothing
+    terms, is_bool, neg = parse_query_with_negation("-only")
+    assert terms == [] and neg
+    # a bare '-' is not a negation
+    assert parse_query_with_negation("a - b")[2] == []
+
+
+def test_exhaustive_negation_excludes_and_backfills(built):
+    """negated= drops every doc containing the NOT-term BEFORE top-k
+    selection: the result equals the unnegated ranking at large k with
+    those docs removed, re-ranked — scores unchanged (corpus stats are
+    not recomputed, same contract as tombstone masking)."""
+    from ir_index_construction_spark.plans.query import bm25_topk_exhaustive
+
+    from ir_index_construction_spark.text.porter import stem
+
+    q, neg = "machine learning", stem("software")
+    wide = bm25_topk_exhaustive(
+        built.postings, built.dictionary, built.docs, q,
+        built.n_docs, built.avgdl, k=10_000).orderBy("rank").collect()
+    neg_ids = {r["doc_id"] for r in built.postings.filter(
+        F.col("term") == neg).select("doc_id").distinct().collect()}
+    survivors = [r for r in wide if r["doc_id"] not in neg_ids][:10]
+    assert 0 < len(survivors) < len(wide[:10]) or \
+        any(r["doc_id"] in neg_ids for r in wide)   # the NOT bites
+    got = bm25_topk_exhaustive(
+        built.postings, built.dictionary, built.docs, f"{q} -{neg}",
+        built.n_docs, built.avgdl, k=10,
+        pre_parsed=(["machin", "learn"], False),
+        negated=[neg],
+    ).orderBy("rank").collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+        [(r["doc_id"], r["score"]) for r in survivors]
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))

@@ -116,6 +116,19 @@ class QueryService:
                                weighted=weighted, idf_cache=idf_cache,
                                exclude_ids=f["exclude_ids"],
                                bound_scale=f["bound_scale"])
+        # '-term' negations route to the exhaustive plan: the excluded
+        # doc set is data-sized, so it stays a distributed anti-join
+        # (see bm25_topk_exhaustive's negated docstring)
+        from ir_index_construction_spark.text.normalize import (
+            parse_query_with_negation)
+
+        terms, is_bool, neg = parse_query_with_negation(query)
+        if neg:
+            return bm25_topk_exhaustive(
+                f["postings"], f["dictionary"], f["docs"], query,
+                f["n_docs"], f["avgdl"], k=k, weighted=weighted,
+                pre_parsed=(terms, is_bool), idf_cache=idf_cache,
+                exclude_ids=f["exclude_ids"], negated=neg)
         if mode == "wand":
             return wand_topk(f["index"], f["dictionary"], f["docs"],
                              query, f["n_docs"], f["avgdl"], k=k,
