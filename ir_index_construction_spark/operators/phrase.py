@@ -170,6 +170,53 @@ def phrase_match_batch(positions: DataFrame, phrases: dict,
     )
 
 
+def snippet_windows(positions: DataFrame, doc_ids, terms: list,
+                    width: int = 30, pos_col: str = "pos",
+                    plural: bool = False) -> DataFrame:
+    """Highlight support: for each doc in ``doc_ids``, the best
+    fixed-``width`` token window over the query terms — (doc_id,
+    win_start, n_hits, hit_positions).  n_hits counts query-term
+    occurrences inside [win_start, win_start + width); the best window
+    always starts at a hit, so scanning candidate starts = scanning the
+    matched positions (the standard snippet-seeding trick).  Ties break
+    to the earliest window.  The caller slices the document's token
+    stream by these offsets to render the snippet — the engine returns
+    spans, like any search backend's highlighter.
+
+    Plan: pruned positions scan -> broadcast semi-join on the (top-k
+    sized) doc list -> one per-doc agg; the window scan is an
+    O(hits^2) array expression inside codegen, bounded by the doc's
+    query-term hits, never a self-join."""
+    spark = positions.sparkSession
+    ids = F.broadcast(spark.createDataFrame(
+        [(int(d),) for d in doc_ids], "doc_id long"))
+    p = positions.filter(F.col("term").isin(list(set(terms)))).join(
+        ids, "doc_id", "left_semi")
+    if plural:
+        allp = F.array_sort(F.flatten(F.collect_list(F.col(pos_col))))
+    else:
+        allp = F.array_sort(F.collect_list(F.col(pos_col)))
+    agg = p.groupBy("doc_id").agg(allp.alias("_ps"))
+    ps = F.col("_ps")
+    hits_at = F.transform(
+        ps, lambda x: F.size(F.filter(
+            ps, lambda y: (y >= x) & (y < x + F.lit(width)))))
+    # argmax with earliest-start tie-break: fold (best_hits, best_start)
+    best = F.aggregate(
+        F.zip_with(hits_at, ps, lambda h, s: F.struct(
+            h.alias("h"), s.alias("s"))),
+        F.struct(F.lit(-1).alias("h"), F.lit(-1).alias("s")),
+        lambda acc, x: F.when(x["h"] > acc["h"], x).otherwise(acc),
+    )
+    return agg.select(
+        "doc_id",
+        best["s"].cast("long").alias("win_start"),
+        best["h"].cast("long").alias("n_hits"),
+        F.filter(ps, lambda y: (y >= best["s"])
+                 & (y < best["s"] + F.lit(width))).alias("hit_positions"),
+    )
+
+
 def phrase_bm25_topk(docs: DataFrame, phrase_terms: list, k: int = 10,
                      bm25: BM25Config = BM25Config()) -> DataFrame:
     """Oracle-tier phrase search over a raw documents(doc_id, text)

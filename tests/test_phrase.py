@@ -390,6 +390,44 @@ def test_randomized_phrase_fuzz(spark):
         assert got_px == want_px, (a, b, w)
 
 
+def test_snippet_windows_match_bruteforce(spark):
+    """Best fixed-width highlight window per doc == a brute-force scan
+    over every candidate start (earliest-start tie-break), on seeded
+    random token streams."""
+    import random
+
+    from ir_index_construction_spark.operators.phrase import snippet_windows
+
+    rng = random.Random(99)
+    alphabet = ["a", "b", "c", "d", "e", "f", "g"]
+    docs = {d: [rng.choice(alphabet) for _ in range(rng.randint(5, 60))]
+            for d in range(60)}
+    terms, width = ["a", "c"], 7
+    rows = []
+    for d, stream in docs.items():
+        byterm: dict = {}
+        for p, t in enumerate(stream):
+            byterm.setdefault(t, []).append(p)
+        rows += [(t, d, ps) for t, ps in byterm.items()]
+    pos_df = spark.createDataFrame(
+        rows, "term string, doc_id long, positions array<int>")
+    got = {r["doc_id"]: (r["win_start"], r["n_hits"],
+                         sorted(r["hit_positions"]))
+           for r in snippet_windows(pos_df, list(docs), terms, width,
+                                    pos_col="positions",
+                                    plural=True).collect()}
+    want = {}
+    for d, stream in docs.items():
+        hits = [i for i, t in enumerate(stream) if t in terms]
+        if not hits:
+            continue
+        best = max(hits, key=lambda x: (
+            sum(1 for y in hits if x <= y < x + width), -x))
+        inwin = [y for y in hits if best <= y < best + width]
+        want[d] = (best, len(inwin), inwin)
+    assert got == want and len(want) >= 50
+
+
 def test_batch_matcher_equals_array_matcher(spark, pos_build):
     """The relational start-position formulation (phrase_match_batch)
     and the offset-shifted array_intersect formulation (phrase_match)
