@@ -2191,6 +2191,262 @@ LIMIT 10
 """
 
 
+# fuzzy search (q52): expand the query term against the dictionary
+# within MAX_EDITS Levenshtein edits — capped deterministically at
+# MAX_FUZZY_EXP terms (distance ASC, df DESC, term ASC), Lucene's
+# FuzzyQuery contract — then score the expansion as an OR-mode BM25
+# query.  Spark's levenshtein and DuckDB's levenshtein are both the
+# standard DP edit distance, so the expansion sets agree exactly.
+FUZZY_Q, MAX_EDITS, MAX_FUZZY_EXP = "par", 2, 8
+
+
+def q_fuzzy_search(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs)
+    n_docs = docs.count()
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = toks.count() / n_docs
+    dictionary = postings.groupBy("term").agg(F.count("*").alias("df"))
+    expansion = (
+        dictionary
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(FUZZY_Q)))
+        .filter(F.col("dist") <= MAX_EDITS)
+        .orderBy(F.col("dist").asc(), F.col("df").desc(),
+                 F.col("term").asc())
+        .limit(MAX_FUZZY_EXP)
+        .withColumn("idf", F.log(
+            (F.lit(float(n_docs)) - F.col("df") + 0.5)
+            / (F.col("df") + 0.5) + 1.0))
+    )
+    matches = (
+        postings.join(F.broadcast(expansion.select("term", "idf")), "term")
+        .join(dl, "doc_id")
+    )
+    w = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+    )
+    scores = matches.groupBy("doc_id").agg(
+        F.round(F.sum(F.col("idf") * w), 6).alias("score"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+    topk = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(win).cast("long"))
+        .select("rank", "doc_id", "n_terms", "score")
+    )
+
+
+SQL_FUZZY_SEARCH = f"""
+WITH {SQL_TOKS},
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks2 GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM toks2)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q AS (
+    SELECT d.term, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+    FROM dict d, consts c
+    WHERE levenshtein(d.term, '{FUZZY_Q}') <= {MAX_EDITS}
+    ORDER BY levenshtein(d.term, '{FUZZY_Q}') ASC, d.df DESC, d.term ASC
+    LIMIT {MAX_FUZZY_EXP}
+),
+scores AS (
+    SELECT p.doc_id,
+           round(sum(q.idf * ((p.tf * {K1 + 1.0}) /
+                 (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))))), 6)
+               AS score,
+           count(*)::BIGINT AS n_terms
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+    GROUP BY p.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, n_terms, score
+FROM scores
+ORDER BY rank
+LIMIT 10
+"""
+
+
+# more-like-this (q53): the seed document's top tf-idf terms become an
+# OR-mode BM25 query; the seed is excluded so the result is "documents
+# most similar to doc MLT_SEED" — Lucene/Elasticsearch MLT semantics.
+# Term selection is deterministic: tf*idf DESC, term ASC, LIMIT m (tf is
+# an integer and idf a pure function of df, so the weight is the same
+# double in both engines — no rounding needed for a stable order).
+MLT_SEED, MLT_TERMS = 0, 5
+
+
+def q_more_like_this(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs)
+    n_docs = docs.count()
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = toks.count() / n_docs
+    dictionary = postings.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    mlt = (
+        postings.filter(F.col("doc_id") == MLT_SEED)
+        .join(dictionary, "term")
+        .withColumn("w", F.col("tf") * idf)
+        .orderBy(F.col("w").desc(), F.col("term").asc())
+        .limit(MLT_TERMS)
+        .withColumn("idf", idf)
+    )
+    matches = (
+        postings.filter(F.col("doc_id") != MLT_SEED)
+        .join(F.broadcast(mlt.select("term", "idf")), "term")
+        .join(dl, "doc_id")
+    )
+    w = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+    )
+    scores = matches.groupBy("doc_id").agg(
+        F.round(F.sum(F.col("idf") * w), 6).alias("score"))
+    topk = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(win).cast("long"))
+        .select("rank", "doc_id", "score")
+    )
+
+
+SQL_MORE_LIKE_THIS = f"""
+WITH {SQL_TOKS},
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks2 GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM toks2)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q AS (
+    SELECT d.term, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+    FROM postings p
+    JOIN dict d ON p.term = d.term
+    CROSS JOIN consts c
+    WHERE p.doc_id = {MLT_SEED}
+    ORDER BY p.tf * ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) DESC,
+             p.term ASC
+    LIMIT {MLT_TERMS}
+),
+scores AS (
+    SELECT p.doc_id,
+           round(sum(q.idf * ((p.tf * {K1 + 1.0}) /
+                 (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))))), 6)
+               AS score
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+    WHERE p.doc_id <> {MLT_SEED}
+    GROUP BY p.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, score
+FROM scores
+ORDER BY rank
+LIMIT 10
+"""
+
+
+# faceted search (q54): facet counts over a query's top-FACET_K result
+# set — the Solr/Elasticsearch aggregation attached to every search
+# page.  The facet runs over the RANKED result (not the whole corpus):
+# top-k first (TakeOrderedAndProject), then one tiny hash agg per facet
+# value on <= FACET_K rows joined back to the documents dimension.
+FACET_TERMS, FACET_K = ("data", "query", "scan"), 50
+
+
+def q_facet_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs)
+    n_docs = docs.count()
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = toks.count() / n_docs
+    dictionary = postings.groupBy("term").agg(F.count("*").alias("df"))
+    terms = spark.createDataFrame([(t,) for t in FACET_TERMS], "term string")
+    tdf = dictionary.join(F.broadcast(terms), "term").withColumn(
+        "idf", F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                     / (F.col("df") + 0.5) + 1.0))
+    matches = (
+        postings.join(F.broadcast(tdf.select("term", "idf")), "term")
+        .join(dl, "doc_id")
+    )
+    w = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+    )
+    scores = matches.groupBy("doc_id").agg(
+        F.round(F.sum(F.col("idf") * w), 6).alias("score"))
+    topk = (scores.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(FACET_K))
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    ranked = topk.withColumn("rank", F.row_number().over(win).cast("long"))
+    return (
+        ranked.join(docs.select("doc_id", "source", "lang"), "doc_id")
+        .groupBy("source", "lang")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.min("rank").cast("long").alias("best_rank"),
+             F.round(F.max("score"), 6).alias("top_score"))
+    )
+
+
+SQL_FACET_COUNTS = f"""
+WITH {SQL_TOKS},
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks2 GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM toks2)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q AS (
+    SELECT d.term, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+    FROM dict d, consts c
+    WHERE d.term IN {tuple(FACET_TERMS)!r}
+),
+scores AS (
+    SELECT p.doc_id,
+           round(sum(q.idf * ((p.tf * {K1 + 1.0}) /
+                 (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))))), 6)
+               AS score
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+    GROUP BY p.doc_id
+),
+ranked AS (
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+    FROM scores
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {FACET_K}
+)
+SELECT d.source, d.lang, count(*)::BIGINT AS n_docs,
+       min(r.rank)::BIGINT AS best_rank,
+       round(max(r.score), 6) AS top_score
+FROM ranked r
+JOIN documents d ON r.doc_id = d.doc_id
+GROUP BY d.source, d.lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2248,6 +2504,9 @@ def queries() -> dict:
         "q49_phrase_batch": q_phrase_batch,
         "q50_prefix_search": q_prefix_search,
         "q51_not_query": q_not_query,
+        "q52_fuzzy_search": q_fuzzy_search,
+        "q53_more_like_this": q_more_like_this,
+        "q54_facet_counts": q_facet_counts,
     }
 
 
@@ -2305,4 +2564,7 @@ def oracle_sql() -> dict:
         "q49_phrase_batch": _sql_phrase_batch(),
         "q50_prefix_search": SQL_PREFIX_SEARCH,
         "q51_not_query": SQL_NOT_QUERY,
+        "q52_fuzzy_search": SQL_FUZZY_SEARCH,
+        "q53_more_like_this": SQL_MORE_LIKE_THIS,
+        "q54_facet_counts": SQL_FACET_COUNTS,
     }

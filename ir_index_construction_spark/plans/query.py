@@ -293,6 +293,121 @@ def prefix_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
                      exclude_ids=exclude_ids, bound_scale=bound_scale)
 
 
+def expand_fuzzy(dictionary: DataFrame, term: str, max_edits: int = 1,
+                 prefix_len: int = 1, max_expansions: int = 50) -> list:
+    """Dictionary fuzzy scan -> indexed terms within ``max_edits``
+    Levenshtein edits of ``term`` (Lucene FuzzyQuery semantics).  The
+    first ``prefix_len`` characters must match exactly — Lucene's
+    ``prefixLength`` — which pushes a StartsWith predicate into the
+    term-sorted parquet dictionary scan (row-group pruning); a length
+    band ``|len(t) - len(q)| <= max_edits`` prunes further before the
+    O(len²) DP edit distance runs (both are codegen'd native exprs —
+    Spark's ``levenshtein`` is JVM-side).  df is summed per term
+    (segment-delta dictionaries hold one row per segment) and the cap
+    is deterministic: distance ASC, then df DESC, then term ASC —
+    closest first, popular first among equally close.  Like wildcard
+    terms, the fuzzy term is matched verbatim against the indexed
+    (stemmed) vocabulary: it bypasses the analyzer, as in every
+    mainstream engine.  The dictionary is vocabulary-sized (millions of
+    rows at 100 TB corpus scale, not corpus-sized), so this full
+    expansion scan is a small embarrassingly-parallel job."""
+    q = term.lower().rstrip("~")
+    if not q:
+        return []
+    cand = dictionary.filter(
+        F.abs(F.length("term") - F.lit(len(q))) <= max_edits)
+    if prefix_len > 0:
+        cand = cand.filter(F.col("term").startswith(q[:prefix_len]))
+    rows = (
+        cand.groupBy("term").agg(F.sum("df").alias("df"))
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(q)))
+        .filter(F.col("dist") <= max_edits)
+        .orderBy(F.col("dist").asc(), F.col("df").desc(),
+                 F.col("term").asc())
+        .limit(max_expansions).collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def fuzzy_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
+               term: str, n_docs: int, avgdl: float, k: int = 10,
+               bm25: BM25Config = BM25Config(), weighted: bool = False,
+               max_edits: int = 1, prefix_len: int = 1,
+               max_expansions: int = 50, idf_cache: dict | None = None,
+               exclude_ids=None, bound_scale=None) -> DataFrame:
+    """Fuzzy top-k over the compressed index: expand the term against
+    the dictionary within ``max_edits`` Levenshtein edits, then run the
+    expansion as an OR-mode WAND query (pre_parsed bypasses query
+    stemming — the expansion IS the indexed vocabulary).  Same two
+    bounded driver steps as prefix_topk: the expansion collect
+    (<= max_expansions rows) and one regular top-k job with the index
+    scan pruned to the expansion terms.  Query surface: a single
+    ``term~`` token (tools/submit_query.py)."""
+    from ..operators.topk import wand_topk
+
+    terms = expand_fuzzy(dictionary, term, max_edits=max_edits,
+                         prefix_len=prefix_len,
+                         max_expansions=max_expansions)
+    spark = index.sparkSession
+    if not terms:
+        return empty_topk(spark)
+    return wand_topk(index, dictionary, docs, "", n_docs, avgdl, k=k,
+                     bm25=bm25, weighted=weighted,
+                     pre_parsed=(terms, False), idf_cache=idf_cache,
+                     exclude_ids=exclude_ids, bound_scale=bound_scale)
+
+
+def mlt_terms(postings: DataFrame, dictionary: DataFrame, doc_id: int,
+              n_docs: int, max_terms: int = 10) -> list:
+    """The seed document's term vector ranked by tf·idf — the query an
+    Elasticsearch/Lucene more-like-this derives from a document.  One
+    small job: the postings scan is pruned by the doc_id min/max
+    row-group stats (the index layout is doc-sharded, so a single doc's
+    postings cluster in few files), the per-term df joins in from the
+    dictionary, and the cap is deterministic (tf·idf DESC, term ASC).
+    At 10^12-doc scale a dedicated forward index (doc -> term vector,
+    e.g. the positional table re-keyed) would replace this scan; the
+    plan shape downstream is identical."""
+    seed = postings.filter(F.col("doc_id") == int(doc_id)).select("term", "tf")
+    d = dictionary.groupBy("term").agg(F.sum("df").alias("df"))
+    rows = (
+        seed.join(d, "term")
+        .withColumn("idf", F.log(
+            (F.lit(float(n_docs)) - F.col("df") + 0.5)
+            / (F.col("df") + 0.5) + 1.0))
+        .withColumn("w", F.col("tf") * F.col("idf"))
+        .orderBy(F.col("w").desc(), F.col("term").asc())
+        .limit(max_terms).collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def more_like_this(index: DataFrame, postings: DataFrame,
+                   dictionary: DataFrame, docs: DataFrame, doc_id: int,
+                   n_docs: int, avgdl: float, k: int = 10,
+                   bm25: BM25Config = BM25Config(),
+                   weighted: bool = False, max_terms: int = 10,
+                   idf_cache: dict | None = None, exclude_ids=None,
+                   bound_scale=None) -> DataFrame:
+    """More-like-this: rank the corpus by BM25 similarity to a seed
+    document.  The seed's top tf·idf terms (mlt_terms) run as an
+    OR-mode WAND query; the seed itself is masked through the same
+    exclude_ids path tombstones use, so backfill keeps the result at k
+    live docs.  Two bounded driver steps (<= max_terms expansion rows +
+    one top-k job), exactly the prefix/fuzzy shape."""
+    from ..operators.topk import wand_topk
+
+    terms = mlt_terms(postings, dictionary, doc_id, n_docs, max_terms)
+    spark = index.sparkSession
+    if not terms:
+        return empty_topk(spark)
+    excl = frozenset(exclude_ids or ()) | {int(doc_id)}
+    return wand_topk(index, dictionary, docs, "", n_docs, avgdl, k=k,
+                     bm25=bm25, weighted=weighted,
+                     pre_parsed=(terms, False), idf_cache=idf_cache,
+                     exclude_ids=excl, bound_scale=bound_scale)
+
+
 def bm25_topk_exhaustive(
     postings: DataFrame,
     dictionary: DataFrame,

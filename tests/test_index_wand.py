@@ -521,6 +521,95 @@ def test_prefix_topk_matches_expanded_or_query(built, index_df):
             assert g["score"] == pytest.approx(e["score"], abs=1e-9), prefix
 
 
+def _lev(a, b):
+    """Reference DP Levenshtein (the fuzzy tests' pure-Python twin)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_expansion_matches_pure_python(built):
+    """expand_fuzzy = the dictionary terms within max_edits Levenshtein
+    edits, prefix_len chars pinned, capped (dist ASC, df DESC, term ASC)
+    — recomputed here with a pure-Python DP edit distance."""
+    from ir_index_construction_spark.plans.query import expand_fuzzy
+
+    dfs = {r["term"]: r["df"] for r in built.dictionary.collect()}
+    for q, max_edits, prefix_len, cap in (
+            ("machine", 1, 1, 50),   # stemmed neighbor 'machin' at dist 1
+            ("learn", 1, 1, 50),     # exact hit at dist 0
+            ("softwar", 2, 0, 5),    # wider radius, no prefix pin, cap binds
+            ("zzzzqq", 1, 1, 50)):   # no match
+        want = [t for t in dfs
+                if _lev(q, t) <= max_edits
+                and (prefix_len == 0 or t.startswith(q[:prefix_len]))]
+        want.sort(key=lambda t: (_lev(q, t), -dfs[t], t))
+        want = want[:cap]
+        got = expand_fuzzy(built.dictionary, q, max_edits=max_edits,
+                           prefix_len=prefix_len, max_expansions=cap)
+        assert got == want, q
+    # non-vacuous: the stemmed vocabulary must fuzzy-match 'machine'
+    assert "machin" in expand_fuzzy(built.dictionary, "machine")
+    # the query surface strips a trailing ~
+    assert (expand_fuzzy(built.dictionary, "machine~")
+            == expand_fuzzy(built.dictionary, "machine"))
+
+
+def test_fuzzy_topk_matches_expanded_or_query(built, index_df):
+    """fuzzy_topk IS expansion + OR-mode WAND: bit-identical to wand_topk
+    over the same pre-parsed expansion, empty when nothing is in radius."""
+    from ir_index_construction_spark.plans.query import expand_fuzzy, fuzzy_topk
+
+    terms = expand_fuzzy(built.dictionary, "machine")
+    assert terms
+    got = fuzzy_topk(index_df, built.dictionary, built.docs, "machine~",
+                     built.n_docs, built.avgdl, k=10).orderBy("rank").collect()
+    want = wand_topk(index_df, built.dictionary, built.docs, "",
+                     built.n_docs, built.avgdl, k=10,
+                     pre_parsed=(terms, False)).orderBy("rank").collect()
+    assert [(r["rank"], r["doc_id"], r["url"], r["score"]) for r in got] == \
+           [(r["rank"], r["doc_id"], r["url"], r["score"]) for r in want]
+    assert got
+    out = fuzzy_topk(index_df, built.dictionary, built.docs, "zzzzqq",
+                     built.n_docs, built.avgdl, k=10)
+    assert out.count() == 0
+
+
+def test_more_like_this_excludes_seed_and_matches_manual(built, index_df):
+    """mlt_terms = the seed doc's terms ranked tf*idf DESC, term ASC
+    (recomputed manually from the postings/dictionary frames); the
+    ranking is the expansion run as OR-mode WAND with the seed masked —
+    bit-identical to wand_topk(pre_parsed, exclude_ids={seed})."""
+    from ir_index_construction_spark.plans.query import mlt_terms, more_like_this
+
+    seed = int(built.docs.agg(F.min("doc_id")).collect()[0][0])
+    dfs = {r["term"]: r["df"] for r in built.dictionary.collect()}
+    seed_tfs = {r["term"]: r["tf"] for r in built.postings.filter(
+        F.col("doc_id") == seed).collect()}
+    n = built.n_docs
+    want = sorted(
+        seed_tfs,
+        key=lambda t: (-(seed_tfs[t]
+                         * math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1)), t)
+    )[:10]
+    got_terms = mlt_terms(built.postings, built.dictionary, seed, n, 10)
+    assert got_terms == want
+    got = more_like_this(index_df, built.postings, built.dictionary,
+                         built.docs, seed, n, built.avgdl,
+                         k=10).orderBy("rank").collect()
+    ref = wand_topk(index_df, built.dictionary, built.docs, "", n,
+                    built.avgdl, k=10, pre_parsed=(got_terms, False),
+                    exclude_ids={seed}).orderBy("rank").collect()
+    assert [(r["rank"], r["doc_id"], r["url"], r["score"]) for r in got] == \
+           [(r["rank"], r["doc_id"], r["url"], r["score"]) for r in ref]
+    assert got and all(r["doc_id"] != seed for r in got)
+
+
 def test_prefix_topk_no_match_empty(built, index_df, spark):
     from ir_index_construction_spark.plans.query import prefix_topk
 

@@ -90,7 +90,8 @@ class QueryService:
     def run(self, query: str, k: int, mode: str, weighted: bool):
         from ir_index_construction_spark.operators.topk import wand_topk
         from ir_index_construction_spark.plans.query import (
-            bm25_topk_exhaustive, phrase_topk_indexed, prefix_topk)
+            bm25_topk_exhaustive, fuzzy_topk, more_like_this,
+            phrase_topk_indexed, prefix_topk)
 
         f, idf_cache = self._refresh()
         # a fully-quoted query is an exact-phrase search (requires a
@@ -116,6 +117,23 @@ class QueryService:
                                weighted=weighted, idf_cache=idf_cache,
                                exclude_ids=f["exclude_ids"],
                                bound_scale=f["bound_scale"])
+        # a single trailing-~ token is a fuzzy query (Lucene FuzzyQuery):
+        # the term expands against the (stemmed) dictionary within one
+        # Levenshtein edit and runs as OR-mode WAND
+        if mode == "fuzzy" or (query.endswith("~") and " " not in query):
+            return fuzzy_topk(f["index"], f["dictionary"], f["docs"],
+                              query, f["n_docs"], f["avgdl"], k=k,
+                              weighted=weighted, idf_cache=idf_cache,
+                              exclude_ids=f["exclude_ids"],
+                              bound_scale=f["bound_scale"])
+        # mlt: the query is a doc_id; rank the corpus by BM25 similarity
+        # to that document's top tf-idf terms, seed masked from results
+        if mode == "mlt":
+            return more_like_this(
+                f["index"], f["postings"], f["dictionary"], f["docs"],
+                int(query), f["n_docs"], f["avgdl"], k=k,
+                weighted=weighted, idf_cache=idf_cache,
+                exclude_ids=f["exclude_ids"], bound_scale=f["bound_scale"])
         # '-term' negations route to the exhaustive plan: the excluded
         # doc set is data-sized, so it stays a distributed anti-join
         # (see bm25_topk_exhaustive's negated docstring)
@@ -156,13 +174,16 @@ def main():
                     help="one-shot query; omit for the interactive REPL")
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--mode",
-                    choices=["wand", "exhaustive", "phrase", "prefix"],
+                    choices=["wand", "exhaustive", "phrase", "prefix",
+                             "fuzzy", "mlt"],
                     default="wand",
                     help="phrase = exact-phrase top-k over the positional "
                          "index (a \"double-quoted\" query selects it "
                          "automatically); prefix = wildcard expansion "
                          "against the dictionary (a single trailing-* "
-                         "token selects it automatically)")
+                         "token selects it automatically); fuzzy = "
+                         "Levenshtein<=1 expansion (trailing ~); mlt = "
+                         "more-like-this, --query is a seed doc_id")
     ap.add_argument("--weighted", action="store_true",
                     help="rank by BM25 x tag-importance (imp/10)")
     ap.add_argument("--batch", default=None, metavar="FILE",
