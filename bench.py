@@ -436,6 +436,42 @@ def main():
         positions.unpersist()
         pdocs.unpersist()
 
+        # fuzzy + more-like-this steady-state latency: each is one
+        # bounded expansion collect (dictionary scan, <=50 rows back)
+        # plus the same OR-mode WAND job wand_p50 measures — the delta
+        # over wand_p50 IS the expansion cost
+        from ir_index_construction_spark.plans.query import (
+            fuzzy_topk, more_like_this)
+
+        def run_fuzzy():
+            return fuzzy_topk(index, built.dictionary, built.docs,
+                              "machine~", built.n_docs, built.avgdl,
+                              k=10, idf_cache=idf_cache).collect()
+
+        run_fuzzy()                                           # warmup
+        lat_fz = []
+        for _ in range(3):
+            t1 = time.time()
+            run_fuzzy()
+            lat_fz.append(time.time() - t1)
+        timings["fuzzy_p50"] = round(statistics.median(lat_fz), 4)
+
+        seed_id = int(built.docs.agg(F.min("doc_id")).collect()[0][0])
+
+        def run_mlt():
+            return more_like_this(index, built.postings, built.dictionary,
+                                  built.docs, seed_id, built.n_docs,
+                                  built.avgdl, k=10,
+                                  idf_cache=idf_cache).collect()
+
+        run_mlt()                                             # warmup
+        lat_mlt = []
+        for _ in range(3):
+            t1 = time.time()
+            run_mlt()
+            lat_mlt.append(time.time() - t1)
+        timings["mlt_p50"] = round(statistics.median(lat_mlt), 4)
+
     # training-data operators on the driver-provided tables (skippable
     # for scaling-evidence runs, which only compare the build)
     if os.environ.get("SPARK_GRAFT_SKIP_EXTRAS"):

@@ -408,6 +408,35 @@ def more_like_this(index: DataFrame, postings: DataFrame,
                      exclude_ids=excl, bound_scale=bound_scale)
 
 
+def facet_counts(ranked: DataFrame, dims: DataFrame, keys: list) -> DataFrame:
+    """Facet aggregation over a RANKED result set — the per-category
+    counts a Solr/Elasticsearch search page attaches to its results.
+    ``ranked`` is a TOPK frame (rank, doc_id, url, score); ``dims`` is a
+    doc-keyed dimension table carrying the facet columns.  The ranked
+    side is <= k rows, so it broadcasts into the dimension join and the
+    facet agg runs over <= k rows — never the full scored set (the
+    expensive cut already happened inside top-k selection).  Returns
+    one row per facet value: n_docs, best_rank, top_score."""
+    joined = dims.join(
+        F.broadcast(ranked.select("doc_id", "rank", "score")), "doc_id")
+    return joined.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("rank").cast("long").alias("best_rank"),
+        F.max("score").alias("top_score"))
+
+
+def facet_by_domain(ranked: DataFrame) -> DataFrame:
+    """Domain facet over a ranked result using only the engine's own
+    docs columns: the facet key is the url's host (the engine stores no
+    other document metadata by design — callers with a richer dimension
+    table use facet_counts directly)."""
+    dims = ranked.select(
+        "doc_id",
+        F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+        .alias("domain"))
+    return facet_counts(ranked, dims, ["domain"])
+
+
 def bm25_topk_exhaustive(
     postings: DataFrame,
     dictionary: DataFrame,

@@ -610,6 +610,29 @@ def test_more_like_this_excludes_seed_and_matches_manual(built, index_df):
     assert got and all(r["doc_id"] != seed for r in got)
 
 
+def test_facet_by_domain_matches_manual(built, index_df):
+    """facet_by_domain over a WAND top-k == counting the same ranked
+    rows per url host in plain Python."""
+    from urllib.parse import urlsplit
+
+    from ir_index_construction_spark.plans.query import facet_by_domain
+
+    ranked = wand_topk(index_df, built.dictionary, built.docs,
+                       "machine learning", built.n_docs, built.avgdl,
+                       k=10)
+    rows = ranked.collect()
+    assert rows
+    want: dict = {}
+    for r in rows:
+        host = urlsplit(r["url"]).netloc
+        n, best, top = want.get(host, (0, 10 ** 9, float("-inf")))
+        want[host] = (n + 1, min(best, r["rank"]), max(top, r["score"]))
+    got = {r["domain"]: (r["n_docs"], r["best_rank"], r["top_score"])
+           for r in facet_by_domain(ranked).collect()}
+    assert got == want
+    assert sum(n for n, _, _ in got.values()) == len(rows)
+
+
 def test_prefix_topk_no_match_empty(built, index_df, spark):
     from ir_index_construction_spark.plans.query import prefix_topk
 
