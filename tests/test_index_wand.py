@@ -610,6 +610,30 @@ def test_more_like_this_excludes_seed_and_matches_manual(built, index_df):
     assert got and all(r["doc_id"] != seed for r in got)
 
 
+def test_expansion_cache_skips_job_and_matches(built):
+    """prefix/fuzzy expansions are cacheable per immutable snapshot:
+    the cached call returns the same list, and a primed cache is
+    authoritative (proving the dictionary job is skipped)."""
+    from ir_index_construction_spark.plans.query import (
+        expand_fuzzy, expand_prefix)
+
+    cache: dict = {}
+    cold_p = expand_prefix(built.dictionary, "ma", 50, cache=cache)
+    cold_f = expand_fuzzy(built.dictionary, "machine", cache=cache)
+    assert expand_prefix(built.dictionary, "ma", 50, cache=cache) == cold_p
+    assert expand_fuzzy(built.dictionary, "machine", cache=cache) == cold_f
+    # a sentinel in the cache is returned verbatim -> no Spark job ran
+    cache[("prefix", "ma", 50)] = ["sentinel"]
+    cache[("fuzzy", "machine", 1, 1, 50)] = ["sentinel2"]
+    assert expand_prefix(built.dictionary, "ma", 50,
+                         cache=cache) == ["sentinel"]
+    assert expand_fuzzy(built.dictionary, "machine",
+                        cache=cache) == ["sentinel2"]
+    # different parameters are different keys, not stale hits
+    assert expand_prefix(built.dictionary, "ma", 3, cache=cache) != \
+        ["sentinel"]
+
+
 def test_facet_by_domain_matches_manual(built, index_df):
     """facet_by_domain over a WAND top-k == counting the same ranked
     rows per url host in plain Python."""

@@ -47,6 +47,7 @@ class QueryService:
         self._catalog_id = object()      # != any real id -> first refresh
         self._tsc = TermStatsCache()
         self._psc = TermStatsCache()     # phrase df_p cache (same contract)
+        self._esc = TermStatsCache()     # prefix/fuzzy expansion cache
         self._f: dict = {}
 
     def _refresh(self):
@@ -116,7 +117,9 @@ class QueryService:
                                query, f["n_docs"], f["avgdl"], k=k,
                                weighted=weighted, idf_cache=idf_cache,
                                exclude_ids=f["exclude_ids"],
-                               bound_scale=f["bound_scale"])
+                               bound_scale=f["bound_scale"],
+                               expansion_cache=self._esc.for_snapshot(
+                                   self._catalog_id))
         # a single trailing-~ token is a fuzzy query (Lucene FuzzyQuery):
         # the term expands against the (stemmed) dictionary within one
         # Levenshtein edit and runs as OR-mode WAND
@@ -125,7 +128,9 @@ class QueryService:
                               query, f["n_docs"], f["avgdl"], k=k,
                               weighted=weighted, idf_cache=idf_cache,
                               exclude_ids=f["exclude_ids"],
-                              bound_scale=f["bound_scale"])
+                              bound_scale=f["bound_scale"],
+                              expansion_cache=self._esc.for_snapshot(
+                                  self._catalog_id))
         # mlt: the query is a doc_id; rank the corpus by BM25 similarity
         # to that document's top tf-idf terms, seed masked from results
         if mode == "mlt":
