@@ -242,6 +242,22 @@ def main():
     extras["n_docs_indexed"] = built.n_docs
     extras["build_docs_per_sec"] = round(built.n_docs / timings["index_build"], 2)
 
+    # compressed-index footprint on disk (the reference's required-but-
+    # never-committed index-size deliverable): one parquet write of the
+    # final index, sized outside the timed build
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    _size_dir = _tempfile.mkdtemp(prefix="bench_index_size_")
+    index.write.mode("overwrite").parquet(f"{_size_dir}/index")
+    _ibytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(f"{_size_dir}/index") for f in fs
+        if f.endswith(".parquet"))
+    _shutil.rmtree(_size_dir, ignore_errors=True)
+    extras["index_size_kb"] = round(_ibytes / 1024.0, 1)
+    extras["index_bytes_per_doc"] = round(_ibytes / max(1, built.n_docs), 1)
+
     # SPARK_GRAFT_SKIP_QUERIES: build-throughput-only rep (scaling
     # evidence interleaves many reps; the query-latency phase would
     # stretch each rep ~25% without informing the build ratio)

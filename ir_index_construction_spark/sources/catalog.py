@@ -281,6 +281,53 @@ class Catalog:
     def table_exists(self, table: str) -> bool:
         return self.current_snapshot(table) is not None
 
+    # ---- time travel ----
+    def catalog_record(self, version: int) -> dict:
+        """The committed catalog record at ``version`` — Iceberg
+        time-travel at the catalog level, so a multi-table transaction
+        is consistent in the past too (docs and postings travel
+        together, never a torn pair).  Only versions at or below the
+        committed pointer are readable: a higher v<N>.json on disk is a
+        crashed writer's orphan (never published, collected at the next
+        commit) and must not be served as history."""
+        cur = self._catalog_current()
+        if cur is None or version > cur["version"]:
+            raise FileNotFoundError(
+                f"catalog version {version} was never committed "
+                f"(current: {cur['version'] if cur else 'none'})")
+        path = os.path.join(self._cdir(), f"v{version}.json")
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"catalog version {version} has been expired — "
+                "expire_snapshots trades old time travel for manifest "
+                "cleanup (same trade as Iceberg)")
+
+    def read_at(self, spark: SparkSession, table: str,
+                catalog_version: int) -> DataFrame:
+        """Read ``table`` as of a past catalog version (time travel).
+        Raises FileNotFoundError if the version was never committed,
+        has been expired, or the table did not exist in it; raises
+        nothing spurious for vacuumed data ONLY because vacuum removes
+        files no retained snapshot references — expire before vacuum,
+        exactly the Iceberg maintenance order."""
+        rec = self.catalog_record(catalog_version)
+        v = rec["tables"].get(table)
+        if v is None:
+            raise FileNotFoundError(
+                f"table {table} did not exist at catalog v{catalog_version}")
+        try:
+            snap = self._table_snapshot(table, v)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"table {table}'s snapshot v{v} (catalog "
+                f"v{catalog_version}) has been expired — "
+                "expire_snapshots trades old time travel for manifest "
+                "cleanup, the same trade Iceberg makes")
+        return self.read(spark, table, snap)
+
     # ---- write paths ----
     def _materialize(self, df: DataFrame, table: str) -> list:
         """Write df to new immutable parquet files; returns relative paths.

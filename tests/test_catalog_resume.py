@@ -30,6 +30,42 @@ def test_catalog_snapshot_semantics(spark, tmp_path):
     assert len(cat.history("t")) == 3
 
 
+def test_catalog_version_time_travel(spark, tmp_path):
+    """read_at(version) serves every table as of a past CATALOG version
+    (multi-table-consistent time travel); uncommitted versions are
+    rejected, and expired history raises a clear error instead of a raw
+    missing-file one."""
+    cat = Catalog(str(tmp_path / "cat_tt"))
+    # v0: one transaction commits two tables together
+    txn = cat.transaction()
+    txn.write(spark.range(10).withColumnRenamed("id", "x"), "a")
+    txn.write(spark.range(4).withColumnRenamed("id", "y"), "b")
+    txn.commit()
+    # v1: another transaction advances both
+    txn = cat.transaction()
+    txn.append(spark.range(5).withColumnRenamed("id", "x"), "a")
+    txn.write(spark.range(7).withColumnRenamed("id", "y"), "b")
+    txn.commit()
+    assert cat.read_at(spark, "a", 0).count() == 10
+    assert cat.read_at(spark, "b", 0).count() == 4
+    assert cat.read_at(spark, "a", 1).count() == 15
+    assert cat.read_at(spark, "b", 1).count() == 7
+    # a version above the committed pointer was never published
+    with pytest.raises(FileNotFoundError, match="never committed"):
+        cat.read_at(spark, "a", 2)
+    # a table absent from the record is a clear error
+    with pytest.raises(FileNotFoundError, match="did not exist"):
+        cat.read_at(spark, "zzz", 0)
+    # expiring table history breaks old time travel with a clear error;
+    # the current version still reads
+    cat.expire_snapshots("a", keep_last=1)
+    with pytest.raises(FileNotFoundError, match="expired"):
+        cat.read_at(spark, "a", 0)
+    assert cat.read_at(spark, "a", 1).count() == 15
+    # ...and table 'b' at v0 is untouched by 'a's expiry
+    assert cat.read_at(spark, "b", 0).count() == 4
+
+
 def test_compact_preserves_rows_and_reduces_files(spark, tmp_path):
     """Compaction rewrites many small per-commit file sets into few
     right-sized files: identical rows, recorded as a 'compact'
