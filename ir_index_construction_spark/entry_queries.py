@@ -2447,6 +2447,74 @@ GROUP BY d.source, d.lang
 """
 
 
+# related terms (q55): top term pairs by document-co-occurrence PMI —
+# the query-expansion / related-search statistic (operators/cooccur.py
+# is the engine twin over the built postings).  The df band filters
+# BEFORE the self-join (the m² blowup killer at scale); pairs with
+# fewer than MIN_PAIRS co-occurrences are dropped (PMI is noise at
+# c=1).  max_df is fractional so the query is sf-independent.
+PMI_MIN_DF, PMI_MAX_DF_FRAC, MIN_PAIRS, PMI_TOP = 2, 0.9, 2, 20
+
+
+def q_related_terms(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs)
+    n_docs = docs.count()
+    p = toks.select("term", "doc_id").distinct()
+    dictionary = p.groupBy("term").agg(F.count("*").alias("df"))
+    band = dictionary.filter(
+        (F.col("df") >= PMI_MIN_DF)
+        & (F.col("df") <= PMI_MAX_DF_FRAC * float(n_docs)))
+    kept = p.join(F.broadcast(band), "term")
+    a = kept.select(F.col("term").alias("term_a"),
+                    F.col("df").alias("df_a"), "doc_id")
+    b = kept.select(F.col("term").alias("term_b"),
+                    F.col("df").alias("df_b"), "doc_id")
+    pairs = (
+        a.join(b, "doc_id").filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b", "df_a", "df_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= MIN_PAIRS)
+    )
+    scored = pairs.withColumn(
+        "pmi",
+        F.round(F.log(F.lit(float(n_docs)) * F.col("n_both")
+                      / (F.col("df_a") * F.col("df_b"))), 6))
+    return (
+        scored.select("term_a", "term_b", "n_both", "pmi")
+        .orderBy(F.col("pmi").desc(), F.col("term_a").asc(),
+                 F.col("term_b").asc())
+        .limit(PMI_TOP)
+    )
+
+
+SQL_RELATED_TERMS = f"""
+WITH {SQL_TOKS},
+p AS (SELECT DISTINCT term, doc_id FROM toks2),
+consts AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM p GROUP BY 1),
+band AS (
+    SELECT d.term, d.df FROM dict d, consts c
+    WHERE d.df >= {PMI_MIN_DF} AND d.df <= {PMI_MAX_DF_FRAC} * c.n_docs
+),
+pairs AS (
+    SELECT a.term AS term_a, b.term AS term_b,
+           da.df AS df_a, db.df AS df_b, count(*)::BIGINT AS n_both
+    FROM p a
+    JOIN p b ON a.doc_id = b.doc_id AND a.term < b.term
+    JOIN band da ON da.term = a.term
+    JOIN band db ON db.term = b.term
+    GROUP BY 1, 2, 3, 4
+    HAVING count(*) >= {MIN_PAIRS}
+)
+SELECT term_a, term_b, n_both,
+       round(ln(c.n_docs * n_both / (df_a * df_b)), 6) AS pmi
+FROM pairs, consts c
+ORDER BY pmi DESC, term_a ASC, term_b ASC
+LIMIT {PMI_TOP}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2507,6 +2575,7 @@ def queries() -> dict:
         "q52_fuzzy_search": q_fuzzy_search,
         "q53_more_like_this": q_more_like_this,
         "q54_facet_counts": q_facet_counts,
+        "q55_related_terms": q_related_terms,
     }
 
 
@@ -2567,4 +2636,5 @@ def oracle_sql() -> dict:
         "q52_fuzzy_search": SQL_FUZZY_SEARCH,
         "q53_more_like_this": SQL_MORE_LIKE_THIS,
         "q54_facet_counts": SQL_FACET_COUNTS,
+        "q55_related_terms": SQL_RELATED_TERMS,
     }

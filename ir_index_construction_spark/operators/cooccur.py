@@ -1,0 +1,71 @@
+"""Term co-occurrence / PMI analytics over the postings relation —
+the "related terms" statistic behind query expansion and related-search
+suggestions (Manning/Schütze-style pointwise mutual information over
+document co-occurrence).
+
+Input is the engine's own postings table (term, doc_id, ...), so this
+runs over the same relation the index is built from — no re-tokenize.
+
+Scale shape (the operator is quadratic per document in the naive form,
+so the cap is not optional at 100 TB):
+
+  * a df band [min_df, max_df] filters terms BEFORE the self-join —
+    the semi-join side is the (tiny) dictionary slice, broadcast.
+    Dropping ubiquitous terms (stopwords, boilerplate) is what kills
+    the m² blowup: a term in 90% of docs would otherwise pair with
+    everything in every doc (same df-cap idea as the n-gram Jaccard
+    dedup's boilerplate-shingle cap, operators/dedup.py).
+  * the pair generation is one doc_id-keyed self-join with ``term_a <
+    term_b`` (each unordered pair once); Catalyst plans it as a single
+    shuffle on doc_id, and per-doc work is bounded by the df band.
+  * the pair count + PMI is one map-side-combinable hash agg.
+
+PMI(a, b) = ln(n_docs * c_ab / (df_a * df_b)); pairs below ``min_pairs``
+co-occurrences are dropped first (PMI is noise at c_ab=1 — the classic
+correction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def term_cooccurrence(postings: DataFrame, dictionary: DataFrame,
+                      n_docs: int, min_df: int = 2,
+                      max_df: int | None = None, min_pairs: int = 2,
+                      top_n: int = 100) -> DataFrame:
+    """Top-N co-occurring term pairs by PMI.  Returns
+    (term_a, term_b, n_both, pmi) with term_a < term_b, ordered
+    pmi DESC, term_a ASC, term_b ASC (deterministic cap).
+
+    ``dictionary`` may hold one row per (term, segment): df is summed
+    per term first, as everywhere else in the engine."""
+    d = dictionary.groupBy("term").agg(F.sum("df").alias("df"))
+    band = d.filter(F.col("df") >= min_df)
+    if max_df is not None:
+        band = band.filter(F.col("df") <= max_df)
+    # broadcast the banded dictionary slice into both sides: the term
+    # filter reaches the postings scan as a semi-join, and df_a/df_b
+    # ride along for the PMI — no second dictionary lookup
+    kept = (postings.select("term", "doc_id")
+            .join(F.broadcast(band), "term"))
+    a = kept.select(F.col("term").alias("term_a"),
+                    F.col("df").alias("df_a"), "doc_id")
+    b = kept.select(F.col("term").alias("term_b"),
+                    F.col("df").alias("df_b"), "doc_id")
+    pairs = a.join(b, "doc_id").filter(F.col("term_a") < F.col("term_b"))
+    counted = (
+        pairs.groupBy("term_a", "term_b", "df_a", "df_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= min_pairs)
+    )
+    pmi = counted.withColumn(
+        "pmi",
+        F.round(F.log(F.lit(float(n_docs)) * F.col("n_both")
+                      / (F.col("df_a") * F.col("df_b"))), 6))
+    return (
+        pmi.select("term_a", "term_b", "n_both", "pmi")
+        .orderBy(F.col("pmi").desc(), F.col("term_a").asc(),
+                 F.col("term_b").asc())
+        .limit(top_n)
+    )

@@ -385,6 +385,47 @@ def emb_df(spark):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), vecs
 
 
+def test_term_cooccurrence_matches_pure_python(built):
+    """term_cooccurrence over the built postings == a pure-Python PMI
+    computation over the same (term, doc_id) pairs: the df band and
+    min-pairs cut applied first, then PMI = ln(n*c/(df_a*df_b)),
+    ordered pmi DESC / term_a / term_b, capped."""
+    import math
+    from collections import Counter, defaultdict
+
+    from ir_index_construction_spark.operators.cooccur import (
+        term_cooccurrence)
+
+    min_df, max_df, min_pairs, top_n = 3, 300, 2, 25
+    n = built.n_docs
+    rows = built.postings.select("term", "doc_id").collect()
+    dfs = Counter(r["term"] for r in rows)
+    band = {t for t, d in dfs.items() if min_df <= d <= max_df}
+    per_doc = defaultdict(set)
+    for r in rows:
+        if r["term"] in band:
+            per_doc[r["doc_id"]].add(r["term"])
+    c: Counter = Counter()
+    for terms in per_doc.values():
+        ts = sorted(terms)
+        for i, ta in enumerate(ts):
+            for tb in ts[i + 1:]:
+                c[(ta, tb)] += 1
+    want = []
+    for (ta, tb), n_both in c.items():
+        if n_both >= min_pairs:
+            pmi = round(math.log(n * n_both / (dfs[ta] * dfs[tb])), 6)
+            want.append((ta, tb, n_both, pmi))
+    want.sort(key=lambda r: (-r[3], r[0], r[1]))
+    want = want[:top_n]
+    got = [(r["term_a"], r["term_b"], r["n_both"], r["pmi"])
+           for r in term_cooccurrence(
+               built.postings, built.dictionary, n, min_df=min_df,
+               max_df=max_df, min_pairs=min_pairs, top_n=top_n).collect()]
+    assert got == want
+    assert got, "df band left no pairs — fixture drifted, loosen the band"
+
+
 def test_cosine_topk_bruteforce(emb_df):
     from ir_index_construction_spark.operators.similarity import cosine_topk_bruteforce
 
