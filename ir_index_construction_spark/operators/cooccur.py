@@ -69,3 +69,47 @@ def term_cooccurrence(postings: DataFrame, dictionary: DataFrame,
                  F.col("term_b").asc())
         .limit(top_n)
     )
+
+
+def related_terms(postings: DataFrame, dictionary: DataFrame,
+                  n_docs: int, term: str, min_df: int = 2,
+                  max_df: int | None = None, min_pairs: int = 2,
+                  top_n: int = 10) -> DataFrame:
+    """Top partner terms of ONE term by PMI — the "related searches"
+    list for a query term.  Cheaper than the all-pairs form: the seed
+    term's doc set comes from a term-pruned postings scan (row-group
+    stats skip everything else on the term-sorted layout) and joins
+    the df-banded postings on doc_id; per-partner counting is one
+    map-side-combined hash agg.  The seed's own df may sit outside the
+    band (querying a stopword's neighbors is legitimate); partners are
+    still band-filtered.  Returns (term_b, n_both, pmi), pmi DESC,
+    term_b ASC."""
+    d = dictionary.groupBy("term").agg(F.sum("df").alias("df"))
+    seed_rows = d.filter(F.col("term") == term).collect()
+    if not seed_rows:
+        spark = postings.sparkSession
+        return spark.createDataFrame(
+            [], "term_b string, n_both long, pmi double")
+    df_seed = seed_rows[0]["df"]
+    seed_docs = (postings.filter(F.col("term") == term)
+                 .select("doc_id"))
+    band = d.filter((F.col("df") >= min_df) & (F.col("term") != term))
+    if max_df is not None:
+        band = band.filter(F.col("df") <= max_df)
+    partners = (postings.select("term", "doc_id")
+                .join(F.broadcast(band), "term")
+                .join(seed_docs, "doc_id"))
+    counted = (
+        partners.groupBy("term", "df")
+        .agg(F.count("*").cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= min_pairs)
+    )
+    return (
+        counted.withColumn(
+            "pmi",
+            F.round(F.log(F.lit(float(n_docs)) * F.col("n_both")
+                          / (F.lit(float(df_seed)) * F.col("df"))), 6))
+        .select(F.col("term").alias("term_b"), "n_both", "pmi")
+        .orderBy(F.col("pmi").desc(), F.col("term_b").asc())
+        .limit(top_n)
+    )

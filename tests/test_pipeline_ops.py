@@ -426,6 +426,35 @@ def test_term_cooccurrence_matches_pure_python(built):
     assert got, "df band left no pairs — fixture drifted, loosen the band"
 
 
+def test_related_terms_consistent_with_all_pairs(built):
+    """related_terms(seed) == the all-pairs PMI table restricted to
+    pairs containing the seed (same band/min_pairs, seed inside the
+    band), re-ranked — and an absent seed returns an empty frame."""
+    from ir_index_construction_spark.operators.cooccur import (
+        related_terms, term_cooccurrence)
+
+    min_df, max_df, min_pairs = 3, 300, 2
+    n = built.n_docs
+    allp = term_cooccurrence(built.postings, built.dictionary, n,
+                             min_df=min_df, max_df=max_df,
+                             min_pairs=min_pairs, top_n=10 ** 6).collect()
+    seed = allp[0]["term_a"]               # guaranteed in-band seed
+    want = []
+    for r in allp:
+        if r["term_a"] == seed:
+            want.append((r["term_b"], r["n_both"], r["pmi"]))
+        elif r["term_b"] == seed:
+            want.append((r["term_a"], r["n_both"], r["pmi"]))
+    want.sort(key=lambda t: (-t[2], t[0]))
+    want = want[:10]
+    got = [(r["term_b"], r["n_both"], r["pmi"]) for r in related_terms(
+        built.postings, built.dictionary, n, seed, min_df=min_df,
+        max_df=max_df, min_pairs=min_pairs, top_n=10).collect()]
+    assert got == want and got
+    assert related_terms(built.postings, built.dictionary, n,
+                         "zzzznotaterm").count() == 0
+
+
 def test_cosine_topk_bruteforce(emb_df):
     from ir_index_construction_spark.operators.similarity import cosine_topk_bruteforce
 

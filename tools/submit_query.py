@@ -131,6 +131,19 @@ class QueryService:
                               bound_scale=f["bound_scale"],
                               expansion_cache=self._esc.for_snapshot(
                                   self._catalog_id))
+        # related: the query is a term; list its top PMI co-occurrence
+        # partners from the postings relation ("related searches")
+        if mode == "related":
+            from ir_index_construction_spark.operators.cooccur import (
+                related_terms)
+            from ir_index_construction_spark.text.normalize import parse_query
+
+            terms, _ = parse_query(query)
+            if not terms:
+                return related_terms(f["postings"], f["dictionary"],
+                                     f["n_docs"], "")   # empty frame
+            return related_terms(f["postings"], f["dictionary"],
+                                 f["n_docs"], terms[0], top_n=k)
         # mlt: the query is a doc_id; rank the corpus by BM25 similarity
         # to that document's top tf-idf terms, seed masked from results
         if mode == "mlt":
@@ -168,6 +181,12 @@ class QueryService:
 def print_results(rows):
     if not rows:
         print("  (no results)")
+        return
+    if "url" not in rows[0].__fields__:        # related-terms schema
+        for r in rows:
+            print(f"  {r['term_b']:24} n_both={r['n_both']:<6} "
+                  f"pmi={r['pmi']:.4f}")
+        return
     for r in rows:
         print(f"{r['rank']:3}  {r['score']:10.4f}  {r['url']}")
 
@@ -180,7 +199,7 @@ def main():
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--mode",
                     choices=["wand", "exhaustive", "phrase", "prefix",
-                             "fuzzy", "mlt"],
+                             "fuzzy", "mlt", "related"],
                     default="wand",
                     help="phrase = exact-phrase top-k over the positional "
                          "index (a \"double-quoted\" query selects it "
@@ -196,7 +215,7 @@ def main():
                          "a single Spark job (wand_topk_batch)")
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
+    from pyspark.sql import SparkSession, functions as F
 
     from ir_index_construction_spark.sources.catalog import Catalog
 
@@ -230,9 +249,13 @@ def main():
 
     service = QueryService(spark, cat)
 
+    order_col = "pmi" if args.mode == "related" else "rank"
+
     if args.query is not None:
         out = service.run(args.query, args.k, args.mode, args.weighted)
-        print_results(out.orderBy("rank").collect())
+        print_results(out.orderBy(
+            F.col(order_col).desc() if order_col == "pmi"
+            else F.col(order_col).asc()).collect())
         return
 
     # REPL (searcher.py:202-219): empty line exits, elapsed ms printed.
@@ -246,8 +269,9 @@ def main():
         if not query:
             break
         t0 = time.time()
-        rows = service.run(query, args.k, args.mode,
-                           args.weighted).orderBy("rank").collect()
+        rows = service.run(query, args.k, args.mode, args.weighted) \
+            .orderBy(F.col(order_col).desc() if order_col == "pmi"
+                     else F.col(order_col).asc()).collect()
         elapsed_ms = (time.time() - t0) * 1000.0
         print_results(rows)
         print(f"[{elapsed_ms:.1f} ms]")
