@@ -2515,6 +2515,111 @@ LIMIT {PMI_TOP}
 """
 
 
+# zone-restricted (fielded) search (q56): only matches whose zone
+# importance reaches the title weight qualify — an in:title query.  The
+# testdata has no HTML zones, so the q26 positional scheme applies: the
+# first 8 tokens are the title zone (weight 20), the rest weight 10.
+# tf stays the full-document tf (the zone gates WHICH (term, doc)
+# matches qualify, not how they weigh) — plans/query.py
+# bm25_topk_exhaustive(min_imp=) is the engine twin.
+ZONE_MIN_IMP = 20
+
+
+def q_zone_search(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), _NORM_RE, " ")),
+                r"\s+",
+            )
+        ).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    n_docs = docs.count()
+    postings = toks.groupBy("term", "doc_id").agg(
+        F.count("*").alias("tf"),
+        F.max(F.when(F.col("pos") < 8, 20).otherwise(10)).alias("imp"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = toks.count() / n_docs
+    dictionary = postings.groupBy("term").agg(F.count("*").alias("df"))
+    terms = spark.createDataFrame([(t,) for t in BM25_QUERY_TERMS], "term string")
+    tdf = dictionary.join(F.broadcast(terms), "term").withColumn(
+        "idf", F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                     / (F.col("df") + 0.5) + 1.0))
+    matches = (
+        postings.filter(F.col("imp") >= ZONE_MIN_IMP)
+        .join(F.broadcast(tdf.select("term", "idf")), "term")
+        .join(dl, "doc_id")
+    )
+    w = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+    )
+    scores = matches.groupBy("doc_id").agg(
+        F.round(F.sum(F.col("idf") * w), 6).alias("score"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+    topk = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(win).cast("long"))
+        .select("rank", "doc_id", "n_terms", "score")
+    )
+
+
+SQL_ZONE_SEARCH = f"""
+WITH t AS (
+    SELECT doc_id,
+           string_split_regex(
+               trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')),
+               '\\s+') AS _t
+    FROM documents
+),
+toksp AS (
+    SELECT doc_id, _t[i + 1] AS term, i AS pos
+    FROM t, unnest(range(0, len(_t))) AS u(i)
+    WHERE _t[i + 1] <> ''
+),
+postings AS (
+    SELECT term, doc_id, count(*)::BIGINT AS tf,
+           max(CASE WHEN pos < 8 THEN 20 ELSE 10 END) AS imp
+    FROM toksp GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toksp GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM toksp)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q AS (
+    SELECT d.term, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+    FROM dict d, consts c
+    WHERE d.term IN {tuple(BM25_QUERY_TERMS)!r}
+),
+scores AS (
+    SELECT p.doc_id,
+           round(sum(q.idf * ((p.tf * {K1 + 1.0}) /
+                 (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))))), 6)
+               AS score,
+           count(*)::BIGINT AS n_terms
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+    WHERE p.imp >= {ZONE_MIN_IMP}
+    GROUP BY p.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, n_terms, score
+FROM scores
+ORDER BY rank
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2576,6 +2681,7 @@ def queries() -> dict:
         "q53_more_like_this": q_more_like_this,
         "q54_facet_counts": q_facet_counts,
         "q55_related_terms": q_related_terms,
+        "q56_zone_search": q_zone_search,
     }
 
 
@@ -2637,4 +2743,5 @@ def oracle_sql() -> dict:
         "q53_more_like_this": SQL_MORE_LIKE_THIS,
         "q54_facet_counts": SQL_FACET_COUNTS,
         "q55_related_terms": SQL_RELATED_TERMS,
+        "q56_zone_search": SQL_ZONE_SEARCH,
     }

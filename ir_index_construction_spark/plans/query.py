@@ -477,6 +477,7 @@ def bm25_topk_exhaustive(
     idf_cache: dict | None = None,
     exclude_ids=None,
     negated: list | None = None,
+    min_imp: int | None = None,
 ) -> DataFrame:
     """Returns TOPK (rank, doc_id, url, score).
 
@@ -499,7 +500,18 @@ def bm25_topk_exhaustive(
     the dictionary-lookup job (see query_term_idf).  exclude_ids:
     deletion set (tombstoned doc_ids) filtered out with a broadcast
     anti-join before scoring — merge-on-read delete semantics between
-    purge cycles, same contract as wand_topk(exclude_ids=)."""
+    purge cycles, same contract as wand_topk(exclude_ids=).
+
+    ``min_imp``: zone-restricted (fielded) search — keep only (term,
+    doc) matches whose zone importance reaches ``min_imp`` (the term
+    occurs in a tag at least that heavy: 20 = title, 18 = h1, ... per
+    text/extract.IMPORTANT_TAGS), e.g. an ``in:title`` query.  tf stays
+    the full-document tf (the zone gates WHICH matches qualify, not how
+    they weigh — combine with weighted=True for zone-boosted scoring).
+    In boolean mode every distinct term must qualify IN ZONE.  Zone
+    restriction routes through this exhaustive plan by design: the
+    compressed index's block-max bounds are not zone-conditional, so
+    WAND pruning cannot stay exact under an imp filter."""
     spark = postings.sparkSession
     terms, is_bool = pre_parsed if pre_parsed is not None else parse_query(query)
     if not terms or n_docs == 0 or avgdl == 0:
@@ -536,6 +548,8 @@ def bm25_topk_exhaustive(
         postings.filter(F.col("term").isin(present))
         .join(F.broadcast(terms_df), "term", "inner")
     )
+    if min_imp is not None:
+        matches = matches.filter(F.col("imp") >= min_imp)
     if exclude_ids:
         dead = spark.createDataFrame(
             [(int(i),) for i in sorted(exclude_ids)], "doc_id long")

@@ -634,6 +634,38 @@ def test_expansion_cache_skips_job_and_matches(built):
         ["sentinel"]
 
 
+def test_zone_restricted_search(built):
+    """min_imp= gates matches by zone importance: the result equals
+    running the plain exhaustive plan over postings pre-filtered to
+    imp >= min_imp (dl rides per-row, so pre-filtering is exact), and
+    the restriction must actually bite on the fixture (title-zone
+    matches are a strict subset)."""
+    from ir_index_construction_spark.plans.query import bm25_topk_exhaustive
+
+    q, min_imp, k = "machine learning", 20, 10 ** 6   # k > corpus: no cut
+    got = bm25_topk_exhaustive(
+        built.postings, built.dictionary, built.docs, q, built.n_docs,
+        built.avgdl, k=k, min_imp=min_imp).orderBy("rank").collect()
+    want = bm25_topk_exhaustive(
+        built.postings.filter(F.col("imp") >= min_imp), built.dictionary,
+        built.docs, q, built.n_docs, built.avgdl,
+        k=k).orderBy("rank").collect()
+    key = lambda rows: [(r["rank"], r["doc_id"], r["url"], r["score"])
+                        for r in rows]
+    assert key(got) == key(want)
+    unrestricted = bm25_topk_exhaustive(
+        built.postings, built.dictionary, built.docs, q, built.n_docs,
+        built.avgdl, k=k).orderBy("rank").collect()
+    assert got and len(got) < len(unrestricted)
+    assert {r["doc_id"] for r in got} < {r["doc_id"] for r in unrestricted}
+    # boolean mode: every distinct term must qualify IN ZONE
+    both = bm25_topk_exhaustive(
+        built.postings, built.dictionary, built.docs,
+        "machine AND learning", built.n_docs, built.avgdl, k=k,
+        min_imp=min_imp).collect()
+    assert {r["doc_id"] for r in both} <= {r["doc_id"] for r in got}
+
+
 def test_facet_by_domain_matches_manual(built, index_df):
     """facet_by_domain over a WAND top-k == counting the same ranked
     rows per url host in plain Python."""

@@ -88,13 +88,28 @@ class QueryService:
                 self._f["exclude_ids"] = ids or None
         return self._f, self._tsc.for_snapshot(cid)
 
-    def run(self, query: str, k: int, mode: str, weighted: bool):
+    def run(self, query: str, k: int, mode: str, weighted: bool,
+            zone: str | None = None):
         from ir_index_construction_spark.operators.topk import wand_topk
         from ir_index_construction_spark.plans.query import (
             bm25_topk_exhaustive, fuzzy_topk, more_like_this,
             phrase_topk_indexed, prefix_topk)
 
         f, idf_cache = self._refresh()
+        # --zone TAG = fielded search: only matches whose zone
+        # importance reaches the tag's weight qualify (in:title etc.).
+        # Routes through the exhaustive plan — the compressed index's
+        # block-max bounds are not zone-conditional, so WAND pruning
+        # cannot stay exact under an imp filter.
+        if zone is not None:
+            from ir_index_construction_spark.text.extract import (
+                IMPORTANT_TAGS)
+
+            return bm25_topk_exhaustive(
+                f["postings"], f["dictionary"], f["docs"], query,
+                f["n_docs"], f["avgdl"], k=k, weighted=weighted,
+                idf_cache=idf_cache, exclude_ids=f["exclude_ids"],
+                min_imp=IMPORTANT_TAGS[zone])
         # a fully-quoted query is an exact-phrase search (requires a
         # positional build — BuildConfig.positions); tombstones apply
         # exactly as in the other modes
@@ -210,6 +225,11 @@ def main():
                          "more-like-this, --query is a seed doc_id")
     ap.add_argument("--weighted", action="store_true",
                     help="rank by BM25 x tag-importance (imp/10)")
+    ap.add_argument("--zone", default=None,
+                    choices=["title", "h1", "h2", "h3", "strong", "b"],
+                    help="fielded search: only matches whose zone "
+                         "importance reaches this tag's weight qualify "
+                         "(in:title etc.); runs on the exhaustive plan")
     ap.add_argument("--batch", default=None, metavar="FILE",
                     help="file with one query per line, all evaluated in "
                          "a single Spark job (wand_topk_batch)")
@@ -252,7 +272,8 @@ def main():
     order_col = "pmi" if args.mode == "related" else "rank"
 
     if args.query is not None:
-        out = service.run(args.query, args.k, args.mode, args.weighted)
+        out = service.run(args.query, args.k, args.mode, args.weighted,
+                          zone=args.zone)
         print_results(out.orderBy(
             F.col(order_col).desc() if order_col == "pmi"
             else F.col(order_col).asc()).collect())
@@ -269,7 +290,8 @@ def main():
         if not query:
             break
         t0 = time.time()
-        rows = service.run(query, args.k, args.mode, args.weighted) \
+        rows = service.run(query, args.k, args.mode, args.weighted,
+                           zone=args.zone) \
             .orderBy(F.col(order_col).desc() if order_col == "pmi"
                      else F.col(order_col).asc()).collect()
         elapsed_ms = (time.time() - t0) * 1000.0
