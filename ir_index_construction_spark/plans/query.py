@@ -383,6 +383,35 @@ def fuzzy_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
                      exclude_ids=exclude_ids, bound_scale=bound_scale)
 
 
+def suggest_terms(dictionary: DataFrame, terms: list, max_edits: int = 1,
+                  prefix_len: int = 1, cache: dict | None = None) -> dict:
+    """Spell suggestion ("did you mean") for a parsed query: each term
+    ABSENT from the dictionary maps to its closest indexed term by the
+    fuzzy-expansion ranking (distance ASC, df DESC — i.e. the most
+    popular of the closest); present terms map to themselves, absent
+    terms with nothing in radius map to None.  One dictionary
+    presence-check job + one bounded expansion per misspelled term
+    (cacheable per snapshot like any expansion).  Suggestions are in
+    the INDEXED (stemmed) vocabulary — display text, the way a search
+    page shows them."""
+    wanted = sorted(set(terms))
+    if not wanted:
+        return {}
+    present = {r["term"] for r in dictionary
+               .filter(F.col("term").isin(wanted))
+               .select("term").distinct().collect()}
+    out = {}
+    for t in wanted:
+        if t in present:
+            out[t] = t
+        else:
+            cands = expand_fuzzy(dictionary, t, max_edits=max_edits,
+                                 prefix_len=prefix_len, max_expansions=1,
+                                 cache=cache)
+            out[t] = cands[0] if cands else None
+    return out
+
+
 def mlt_terms(postings: DataFrame, dictionary: DataFrame, doc_id: int,
               n_docs: int, max_terms: int = 10) -> list:
     """The seed document's term vector ranked by tf·idf — the query an

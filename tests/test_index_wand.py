@@ -580,6 +580,25 @@ def test_fuzzy_topk_matches_expanded_or_query(built, index_df):
     assert out.count() == 0
 
 
+def test_suggest_terms_did_you_mean(built):
+    """Present terms map to themselves; a misspelling maps to the most
+    popular closest indexed term (the fuzzy ranking's head); nothing in
+    radius maps to None — checked against the pure-Python DP twin."""
+    from ir_index_construction_spark.plans.query import suggest_terms
+
+    dfs = {r["term"]: r["df"] for r in built.dictionary.collect()}
+    got = suggest_terms(built.dictionary,
+                        ["learn", "machinx", "zzzzqq", "learn"])
+    cands = sorted((t for t in dfs
+                    if _lev("machinx", t) <= 1 and t.startswith("m")),
+                   key=lambda t: (_lev("machinx", t), -dfs[t], t))
+    assert got == {"learn": "learn",
+                   "machinx": cands[0],
+                   "zzzzqq": None}
+    assert got["machinx"] == "machin"
+    assert suggest_terms(built.dictionary, []) == {}
+
+
 def test_more_like_this_excludes_seed_and_matches_manual(built, index_df):
     """mlt_terms = the seed doc's terms ranked tf*idf DESC, term ASC
     (recomputed manually from the postings/dictionary frames); the

@@ -192,6 +192,25 @@ class QueryService:
                                     idf_cache=idf_cache,
                                     exclude_ids=f["exclude_ids"])
 
+    def suggest(self, query: str) -> str | None:
+        """'did you mean' for a zero-hit query: each absent term's
+        closest indexed neighbor (plans/query.py suggest_terms).
+        Returns the corrected display string, or None when every term
+        is already indexed or nothing is in edit radius."""
+        from ir_index_construction_spark.plans.query import suggest_terms
+        from ir_index_construction_spark.text.normalize import parse_query
+
+        f, _ = self._refresh()
+        terms, _ = parse_query(query)
+        if not terms:
+            return None
+        m = suggest_terms(f["dictionary"], terms,
+                          cache=self._esc.for_snapshot(self._catalog_id))
+        if all(m.get(t) == t for t in terms):
+            return None
+        fixed = [m.get(t) or t for t in terms]
+        return " ".join(fixed) if fixed != terms else None
+
 
 def print_results(rows):
     if not rows:
@@ -271,12 +290,23 @@ def main():
 
     order_col = "pmi" if args.mode == "related" else "rank"
 
+    def maybe_suggest(query, rows):
+        """searcher-page behavior: a zero-hit term query offers the
+        closest indexed spelling (display-only, stemmed vocabulary)."""
+        if rows or args.mode not in ("wand", "exhaustive"):
+            return
+        fix = service.suggest(query)
+        if fix:
+            print(f"  did you mean: {fix} ?")
+
     if args.query is not None:
         out = service.run(args.query, args.k, args.mode, args.weighted,
                           zone=args.zone)
-        print_results(out.orderBy(
+        rows = out.orderBy(
             F.col(order_col).desc() if order_col == "pmi"
-            else F.col(order_col).asc()).collect())
+            else F.col(order_col).asc()).collect()
+        print_results(rows)
+        maybe_suggest(args.query, rows)
         return
 
     # REPL (searcher.py:202-219): empty line exits, elapsed ms printed.
@@ -296,6 +326,7 @@ def main():
                      else F.col(order_col).asc()).collect()
         elapsed_ms = (time.time() - t0) * 1000.0
         print_results(rows)
+        maybe_suggest(query, rows)
         print(f"[{elapsed_ms:.1f} ms]")
 
 
