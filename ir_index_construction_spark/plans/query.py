@@ -400,15 +400,46 @@ def suggest_terms(dictionary: DataFrame, terms: list, max_edits: int = 1,
     present = {r["term"] for r in dictionary
                .filter(F.col("term").isin(wanted))
                .select("term").distinct().collect()}
-    out = {}
+    out = {t: t for t in wanted if t in present}
+    missing = []
     for t in wanted:
         if t in present:
-            out[t] = t
+            continue
+        key = ("fuzzy", t, max_edits, prefix_len, 1)
+        if cache is not None and key in cache:
+            out[t] = cache[key][0] if cache[key] else None
         else:
-            cands = expand_fuzzy(dictionary, t, max_edits=max_edits,
-                                 prefix_len=prefix_len, max_expansions=1,
-                                 cache=cache)
-            out[t] = cands[0] if cands else None
+            out[t] = None            # default until the batch job fills it
+            missing.append(t)
+    if missing:
+        # ONE job for every misspelled term: the tiny query-term side
+        # broadcasts into a nested-loop join against the dictionary with
+        # the same prefix-pin + length-band pruning expand_fuzzy uses,
+        # then a per-term rank window picks the closest/most-popular
+        # candidate — N misspellings never mean N dictionary jobs.
+        spark = dictionary.sparkSession
+        qdf = spark.createDataFrame(
+            [(t, t[:prefix_len], len(t)) for t in missing],
+            "q string, pfx string, qlen int")
+        d = dictionary.groupBy("term").agg(F.sum("df").alias("df"))
+        cond = F.abs(F.length("term") - F.col("qlen")) <= max_edits
+        if prefix_len > 0:
+            cond = cond & F.col("term").startswith(F.col("pfx"))
+        cand = (
+            d.join(F.broadcast(qdf), cond)
+            .withColumn("dist", F.levenshtein(F.col("term"), F.col("q")))
+            .filter(F.col("dist") <= max_edits)
+        )
+        win = Window.partitionBy("q").orderBy(
+            F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
+        best = (cand.withColumn("_rn", F.row_number().over(win))
+                .filter(F.col("_rn") == 1).select("q", "term").collect())
+        for r in best:
+            out[r["q"]] = r["term"]
+        if cache is not None:
+            for t in missing:
+                key = ("fuzzy", t, max_edits, prefix_len, 1)
+                cache[key] = [out[t]] if out[t] is not None else []
     return out
 
 

@@ -597,6 +597,17 @@ def test_suggest_terms_did_you_mean(built):
                    "zzzzqq": None}
     assert got["machinx"] == "machin"
     assert suggest_terms(built.dictionary, []) == {}
+    # cache round trip: the batch job seeds expand_fuzzy-compatible
+    # entries, and a primed cache is authoritative (no job re-runs)
+    cache: dict = {}
+    first = suggest_terms(built.dictionary, ["machinx", "zzzzqq"],
+                          cache=cache)
+    assert cache[("fuzzy", "machinx", 1, 1, 1)] == ["machin"]
+    assert cache[("fuzzy", "zzzzqq", 1, 1, 1)] == []
+    cache[("fuzzy", "machinx", 1, 1, 1)] = ["sentinel"]
+    again = suggest_terms(built.dictionary, ["machinx", "zzzzqq"],
+                          cache=cache)
+    assert again == {"machinx": "sentinel", "zzzzqq": None} and first
 
 
 def test_more_like_this_excludes_seed_and_matches_manual(built, index_df):
