@@ -5,11 +5,19 @@ the ranked URLs and the elapsed milliseconds until an empty line quits).
 
     spark-submit --py-files dist/engine.zip tools/submit_query.py \
         --catalog /data/index_catalog [--query "machine learning"] [-k 10]
-        [--mode wand|exhaustive|phrase] [--weighted] [--batch queries.txt]
+        [--mode wand|exhaustive|phrase|prefix|fuzzy|mlt|related]
+        [--weighted] [--zone title] [--batch queries.txt]
 
 --batch FILE evaluates every line of FILE as one query in a SINGLE
 Spark job (operators/topk.py wand_topk_batch) and prints per-query
 blocks — the shape for scoring a mined query set against the corpus.
+
+Query surfaces (each also selected by syntax where noted): exact
+phrase ("double quoted"), prefix wildcard (trailing *), fuzzy
+(trailing ~), NOT-terms (-term), zone restriction (--zone title =
+in:title), more-like-this (--mode mlt, query is a doc_id), related
+terms (--mode related, PMI partners), and a "did you mean" line on
+zero-hit term queries.
 
 Without --query, enters the REPL:
 
