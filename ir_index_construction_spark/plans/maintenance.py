@@ -82,11 +82,31 @@ def live_postings(spark: SparkSession, catalog: Catalog) -> DataFrame:
 
 
 def purge_tombstones(spark: SparkSession, catalog: Catalog,
-                     fault: Callable | None = None) -> int:
+                     fault: Callable | None = None,
+                     bm25: BM25Config = BM25Config(),
+                     index_cfg: IndexConfig = IndexConfig()) -> int:
     """Physically rewrite docs + postings without tombstoned ids and
     empty the tombstone table — one atomic transaction.  Returns the
     number of doc_ids purged.  ``fault`` (tests only) runs just before
-    the commit: the torn window must leave the OLD state fully intact."""
+    the commit: the torn window must leave the OLD state fully intact.
+
+    The compressed ``index`` is DERIVED data that still embeds the
+    victims' postings inside encoded blocks, so it is re-encoded from
+    the live postings IN THE SAME transaction — erasure is never "docs
+    gone but index still scores them".  Clearing the tombstone list
+    while leaving the index stale would otherwise let WAND burn top-k
+    slots on dead ids between purge and the next reindex (they drop at
+    the docs back-join, leaving under-k results with no backfill), and
+    the erasure would not be physical.  The SCORING state is
+    intentionally frozen: stats (n_docs/avgdl) and the dictionary
+    (df -> idf) are as-of-indexing — deletion masks documents, it does
+    not re-score the corpus (Lucene's docFreq likewise retains deleted
+    docs until a merge) — so the re-encode runs at the unchanged avgdl
+    and surviving scores are bit-identical to the masked results.  The
+    ``index_segments`` row refreshes in a follow-up commit (same
+    two-commit shape as ``reindex``: the shard range is only known once
+    the index materialized; between the commits the stale scale list is
+    >= 1, which loosens pruning but never results)."""
     if not catalog.table_exists("doc_tombstones"):
         return 0
     tomb = catalog.read(spark, "doc_tombstones").select("doc_id").distinct()
@@ -95,8 +115,17 @@ def purge_tombstones(spark: SparkSession, catalog: Catalog,
         return 0
     txn = catalog.transaction()
     txn.write(live_docs(spark, catalog), "docs")
+    has_index = catalog.table_exists("index")
     if catalog.table_exists("postings"):
-        txn.write(live_postings(spark, catalog), "postings")
+        live_p = live_postings(spark, catalog)
+        txn.write(live_p, "postings")
+        if has_index:
+            from ..operators.compress import build_compressed_index
+
+            stats = catalog.read(spark, "stats").collect()[0]
+            avgdl = float(stats["avgdl"]) or 1.0
+            txn.write(build_compressed_index(live_p, avgdl, bm25,
+                                             index_cfg), "index")
     if catalog.table_exists("positions"):
         # positional index (BuildConfig.positions) purges in the same
         # transaction — phrase queries and WAND never disagree on which
@@ -106,6 +135,20 @@ def purge_tombstones(spark: SparkSession, catalog: Catalog,
     if fault is not None:
         fault()
     txn.commit()
+    if has_index and catalog.table_exists("index_segments"):
+        stats = catalog.read(spark, "stats").collect()[0]
+        avgdl = float(stats["avgdl"]) or 1.0
+        rng = catalog.read(spark, "index").agg(
+            F.min("shard").alias("lo"),
+            F.max("shard").alias("hi")).collect()[0]
+        if rng["lo"] is not None:
+            now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+            txn2 = catalog.transaction()
+            txn2.write(spark.createDataFrame(
+                [("purge", int(rng["lo"]), int(rng["hi"]), avgdl,
+                  int(stats["n_docs"]), now)], INDEX_SEGMENTS),
+                "index_segments")
+            txn2.commit()
     return n
 
 

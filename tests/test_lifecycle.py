@@ -1,0 +1,163 @@
+"""Full catalog lifecycle in ONE flow — the "it all composes" test.
+
+Every step here is covered in isolation elsewhere; this test pins the
+COMPOSITION, where table-lifecycle bugs hide: batch build (positions
+on) -> streaming drain (index segments + positions maintained in the
+same per-batch transactions) -> WAND + exact-phrase queries through
+the SAME QueryService a deployment runs -> tombstone two urls (results
+re-rank with scores unchanged, tombstoned docs gone, backfill at k) ->
+purge (physical rewrite) -> reindex (segment merge) -> compact ->
+expire_snapshots -> vacuum(grace=0) -> queries STILL identical after
+every maintenance step (maintenance is invariant by contract), old
+time travel errors cleanly after expiry, and vacuum actually removed
+bytes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import importlib.util
+import os
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from ir_index_construction_spark.config import small_scale
+from ir_index_construction_spark.plans.builder import IndexBuilder
+from ir_index_construction_spark.plans.maintenance import (
+    purge_tombstones, reindex, tombstone_urls)
+from ir_index_construction_spark.schemas import DOCUMENTS
+from ir_index_construction_spark.sources.catalog import Catalog
+from ir_index_construction_spark.corpusgen import make_corpus
+
+CFG = dataclasses.replace(small_scale(), positions=True)
+PHRASE = "graft lifecycle"          # planted adjacent bigram (see _phrase_doc)
+QUERY = "machine learning"
+
+
+def _phrase_doc(i: int, streamed: bool) -> dict:
+    import datetime as dt
+
+    host = "stream" if streamed else "batch"
+    return {
+        "url": f"https://{host}.example.org/phrase/{i}",
+        "warc_ts": dt.datetime(2024, 2, 1, 0, 0, i),
+        "html": ("<html><head><title>graft lifecycle test</title></head>"
+                 "<body><p>" + ("graft lifecycle machine learning " * (i + 1))
+                 + "</p></body></html>").encode(),
+        "text": None,
+        "lang": "en",
+    }
+
+
+def _service(spark, cat):
+    spec = importlib.util.spec_from_file_location(
+        "submit_query_lifecycle",
+        Path(__file__).resolve().parent.parent / "tools" / "submit_query.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m.QueryService(spark, cat)
+
+
+def _key(rows):
+    return [(r["rank"], r["url"], r["score"]) for r in rows]
+
+
+def test_full_lifecycle_composes(spark, tmp_path):
+    from ir_index_construction_spark.streaming import incremental_index_update
+
+    root = tmp_path
+    rows = make_corpus(240)
+    batch_rows = rows[:180] + [_phrase_doc(i, False) for i in range(3)]
+    stream_rows = rows[180:] + [_phrase_doc(i, True) for i in range(3, 6)]
+
+    cat = Catalog(str(root / "cat"))
+    IndexBuilder(cat, CFG, n_batches=2).build(
+        spark.createDataFrame(batch_rows, DOCUMENTS))
+
+    inp = root / "incoming"
+    spark.createDataFrame(stream_rows, DOCUMENTS) \
+        .write.parquet(str(inp / "f0"))
+    incremental_index_update(spark, cat, str(inp) + "/*",
+                             str(root / "ck"), maintain_index=True,
+                             bm25=CFG.bm25, index_cfg=CFG.index)
+
+    svc = _service(spark, cat)
+    run = lambda q, mode: _key(
+        svc.run(q, 10, mode, False).orderBy("rank").collect())
+
+    wand0 = run(QUERY, "wand")
+    phrase0 = run(f'"{PHRASE}"', "phrase")
+    assert wand0 and phrase0
+    # the drain is live: streamed phrase docs are served via segments
+    assert any("stream.example.org" in u for _, u, _ in phrase0)
+
+    # -- tombstone: the top wand doc and the top phrase doc disappear,
+    # everything else keeps its EXACT score (masking, not re-scoring),
+    # and the result backfills to k from the next-best live docs
+    victims = sorted({wand0[0][1], phrase0[0][1]})
+    assert tombstone_urls(spark, cat, victims) == len(victims)
+    wand1, phrase1 = run(QUERY, "wand"), run(f'"{PHRASE}"', "phrase")
+    assert all(u not in victims for _, u, _ in wand1 + phrase1)
+    # WAND contract: masking, not re-scoring — survivors keep their
+    # EXACT scores (term idf comes from the dictionary, untouched)
+    wand0_scores = {u: s for _, u, s in wand0}
+    for _, u, s in wand1:
+        if u in wand0_scores:
+            assert s == wand0_scores[u]
+    # phrase contract: df_p is recomputed over LIVE docs (the victim
+    # matched the phrase, so df_p dropped and idf rose) — survivors'
+    # scores rise by a common factor, relative order preserved
+    surv0 = [u for _, u, _ in phrase0 if u not in victims]
+    assert [u for _, u, _ in phrase1][:len(surv0)] == surv0
+    phrase0_scores = {u: s for _, u, s in phrase0}
+    for _, u, s in phrase1:
+        if u in phrase0_scores:
+            assert s > phrase0_scores[u]
+    pre_purge_version = cat._catalog_current()["version"]
+
+    # -- maintenance chain, in the documented nightly order (reindex ->
+    # purge -> compact -> expire -> vacuum): each step must leave query
+    # results IDENTICAL (merge-on-read + background merges + the frozen
+    # as-of-indexing scoring state)
+    # base segment + one streamed segment -> one merged away
+    assert reindex(spark, cat, bm25=CFG.bm25, index_cfg=CFG.index) == 1
+    assert (wand1, phrase1) == (run(QUERY, "wand"), run(f'"{PHRASE}"', "phrase"))
+    assert purge_tombstones(spark, cat, bm25=CFG.bm25,
+                            index_cfg=CFG.index) == len(victims)
+    assert (wand1, phrase1) == (run(QUERY, "wand"), run(f'"{PHRASE}"', "phrase"))
+    for t in ("postings", "docs", "index", "positions"):
+        cat.compact(spark, t)
+    assert (wand1, phrase1) == (run(QUERY, "wand"), run(f'"{PHRASE}"', "phrase"))
+
+    # -- expiry + vacuum: bytes actually reclaimed, old time travel
+    # errors CLEANLY, the current snapshot still serves
+    def table_bytes():
+        total = 0
+        for r, _, fs in os.walk(root / "cat"):
+            total += sum(os.path.getsize(os.path.join(r, f)) for f in fs)
+        return total
+    before = table_bytes()
+    removed = []
+    for t in ("postings", "docs", "index", "positions", "dictionary",
+              "stats", "index_segments"):
+        cat.expire_snapshots(t, keep_last=1)
+        removed += cat.vacuum(t, grace_seconds=0.0)
+    assert removed and table_bytes() < before
+    with pytest.raises(FileNotFoundError, match="expired"):
+        cat.read_at(spark, "postings", pre_purge_version)
+    assert (wand1, phrase1) == (run(QUERY, "wand"), run(f'"{PHRASE}"', "phrase"))
+
+    # -- post-maintenance catalog state is internally consistent:
+    # docs/postings/positions agree on the live doc set, segments
+    # merged to one, tombstones empty
+    live = {r["url"] for r in cat.read(spark, "docs").collect()}
+    assert not (set(victims) & live)
+    assert cat.read(spark, "index_segments").count() == 1
+    assert cat.read(spark, "doc_tombstones").count() == 0
+    doc_ids = {r["doc_id"] for r in cat.read(spark, "docs").collect()}
+    for t in ("postings", "positions"):
+        ids = {r["doc_id"] for r in
+               cat.read(spark, t).select("doc_id").distinct().collect()}
+        assert ids <= doc_ids, t

@@ -15,7 +15,9 @@ sources/catalog.py and plans/maintenance.py for semantics):
              delete unreferenced data files + crashed staging dirs
   tombstone  --urls-file FILE [--reason takedown]
              mark the docs currently indexed for these urls deleted
-  purge      physically rewrite docs+postings without tombstoned ids
+  purge      [--shard-size N] [--term-buckets N] [--salt-buckets N]
+             physically rewrite docs+postings (and re-encode the
+             compressed index) without tombstoned ids
   reindex    [--shard-size N] [--term-buckets N] [--salt-buckets N]
              merge all index segments into one at the current avgdl
 
@@ -54,7 +56,10 @@ def main():
     p.add_argument("--urls-file", required=True,
                    help="file with one url per line")
     p.add_argument("--reason", default="takedown")
-    sub.add_parser("purge")
+    p = sub.add_parser("purge")
+    p.add_argument("--shard-size", type=int, default=1 << 20)
+    p.add_argument("--term-buckets", type=int, default=64)
+    p.add_argument("--salt-buckets", type=int, default=4)
     p = sub.add_parser("reindex")
     p.add_argument("--shard-size", type=int, default=1 << 20)
     p.add_argument("--term-buckets", type=int, default=64)
@@ -95,10 +100,15 @@ def main():
         n = tombstone_urls(spark, cat, urls, reason=args.reason)
         print(f"tombstoned {n} doc_ids for {len(urls)} urls")
     elif args.cmd == "purge":
+        from ir_index_construction_spark.config import IndexConfig
         from ir_index_construction_spark.plans.maintenance import (
             purge_tombstones)
 
-        print(f"purged {purge_tombstones(spark, cat)} doc_ids")
+        cfg = IndexConfig(shard_size=args.shard_size,
+                          term_buckets=args.term_buckets,
+                          salt_buckets=args.salt_buckets)
+        print(f"purged {purge_tombstones(spark, cat, index_cfg=cfg)} "
+              "doc_ids")
     elif args.cmd == "reindex":
         from ir_index_construction_spark.config import IndexConfig
         from ir_index_construction_spark.plans.maintenance import reindex
