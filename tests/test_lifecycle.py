@@ -161,3 +161,19 @@ def test_full_lifecycle_composes(spark, tmp_path):
         ids = {r["doc_id"] for r in
                cat.read(spark, t).select("doc_id").distinct().collect()}
         assert ids <= doc_ids, t
+
+    # -- life goes on: a SECOND streaming drain lands on the purged +
+    # reindexed + compacted + expired catalog — the new segment claims
+    # a shard range disjoint from the merged one, and the new docs are
+    # immediately servable next to everything that survived
+    spark.createDataFrame([_phrase_doc(i, True) for i in range(6, 9)],
+                          DOCUMENTS).write.parquet(str(inp / "f1"))
+    incremental_index_update(spark, cat, str(inp) + "/*",
+                             str(root / "ck"), maintain_index=True,
+                             bm25=CFG.bm25, index_cfg=CFG.index)
+    segs = cat.read(spark, "index_segments").orderBy("min_shard").collect()
+    assert len(segs) == 2
+    assert segs[0]["max_shard"] < segs[1]["min_shard"]
+    phrase2 = run(f'"{PHRASE}"', "phrase")
+    assert any("/phrase/8" in u for _, u, _ in phrase2)   # new doc served
+    assert all(u not in victims for _, u, _ in phrase2)   # erasure holds
