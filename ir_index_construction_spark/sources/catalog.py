@@ -328,6 +328,27 @@ class Catalog:
                 "cleanup, the same trade Iceberg makes")
         return self.read(spark, table, snap)
 
+    def diff(self, spark: SparkSession, table: str, v_old: int,
+             v_new: int, key_cols: list) -> DataFrame:
+        """Row-level diff of ``table`` between two catalog versions —
+        the audit question time travel exists to answer (what did the
+        takedown purge remove? what did last night's drain add?).
+        Returns one row per changed key with a ``change`` column of
+        ``added`` / ``removed`` (keys present in both versions are
+        unchanged by definition here: data files are immutable, a key
+        only changes by remove+add).  Two anti-joins over the two
+        snapshots' scans — each prunes to the key columns at the
+        parquet reader, and at 100 TB the join shuffles keys, never
+        payloads."""
+        old = self.read_at(spark, table, v_old).select(*key_cols)
+        new = self.read_at(spark, table, v_new).select(*key_cols)
+        from pyspark.sql import functions as _F
+        added = new.join(old, key_cols, "left_anti") \
+            .withColumn("change", _F.lit("added"))
+        removed = old.join(new, key_cols, "left_anti") \
+            .withColumn("change", _F.lit("removed"))
+        return added.unionByName(removed)
+
     # ---- write paths ----
     def _materialize(self, df: DataFrame, table: str) -> list:
         """Write df to new immutable parquet files; returns relative paths.

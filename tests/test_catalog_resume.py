@@ -43,7 +43,7 @@ def test_catalog_version_time_travel(spark, tmp_path):
     txn.commit()
     # v1: another transaction advances both
     txn = cat.transaction()
-    txn.append(spark.range(5).withColumnRenamed("id", "x"), "a")
+    txn.append(spark.range(10, 15).withColumnRenamed("id", "x"), "a")
     txn.write(spark.range(7).withColumnRenamed("id", "y"), "b")
     txn.commit()
     assert cat.read_at(spark, "a", 0).count() == 10
@@ -56,6 +56,19 @@ def test_catalog_version_time_travel(spark, tmp_path):
     # a table absent from the record is a clear error
     with pytest.raises(FileNotFoundError, match="did not exist"):
         cat.read_at(spark, "zzz", 0)
+    # diff between versions: 'a' gained keys 10..14 in v1 (append);
+    # 'b' was overwritten with 0..6 — by key, only 4..6 are new (0..3
+    # re-added under new files are present in both versions)
+    d = {(r["x"], r["change"])
+         for r in cat.diff(spark, "a", 0, 1, ["x"]).collect()}
+    assert d == {(x, "added") for x in range(10, 15)}
+    db = {(r["y"], r["change"])
+          for r in cat.diff(spark, "b", 0, 1, ["y"]).collect()}
+    assert db == {(y, "added") for y in range(4, 7)}
+    # reversed direction flips the labels
+    assert {(r["x"], r["change"])
+            for r in cat.diff(spark, "a", 1, 0, ["x"]).collect()} \
+        == {(x, "removed") for x in range(10, 15)}
     # expiring table history breaks old time travel with a clear error;
     # the current version still reads
     cat.expire_snapshots("a", keep_last=1)
