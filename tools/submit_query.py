@@ -272,17 +272,30 @@ def main():
     cat = Catalog(args.catalog)
 
     if args.batch is not None:
-        from ir_index_construction_spark.operators.topk import wand_topk_batch
-
         lines = [l.strip() for l in Path(args.batch).read_text().splitlines()]
         queries = {f"q{i:04d}": q for i, q in enumerate(lines) if q}
         stats = cat.read(spark, "stats").collect()[0]
         t0 = time.time()
-        rows = wand_topk_batch(
-            cat.read(spark, "index"), cat.read(spark, "dictionary"),
-            cat.read(spark, "docs"), queries, stats["n_docs"],
-            float(stats["avgdl"]), k=args.k, weighted=args.weighted,
-        ).orderBy("query_id", "rank").collect()
+        if args.mode == "phrase":
+            # whole phrase workload in one plan (plans/query.py
+            # phrase_topk_batch) — quotes in the file are optional
+            from ir_index_construction_spark.plans.query import (
+                phrase_topk_batch)
+
+            rows = phrase_topk_batch(
+                cat.read(spark, "positions"), cat.read(spark, "docs"),
+                {qid: q.strip('"') for qid, q in queries.items()},
+                stats["n_docs"], float(stats["avgdl"]), k=args.k,
+            ).orderBy("query_id", "rank").collect()
+        else:
+            from ir_index_construction_spark.operators.topk import (
+                wand_topk_batch)
+
+            rows = wand_topk_batch(
+                cat.read(spark, "index"), cat.read(spark, "dictionary"),
+                cat.read(spark, "docs"), queries, stats["n_docs"],
+                float(stats["avgdl"]), k=args.k, weighted=args.weighted,
+            ).orderBy("query_id", "rank").collect()
         elapsed = time.time() - t0
         by_qid: dict = {}
         for r in rows:
