@@ -2621,6 +2621,191 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# spell suggestion (q57): "did you mean" over the dictionary.  One plan
+# for the whole misspelled batch: the (tiny) query side broadcasts into
+# a prefix-pinned + length-banded nested-loop join against the
+# dictionary, Levenshtein filters to radius, and a per-query rank
+# window picks the closest/most-popular candidate — the same
+# contract as plans/query.suggest_terms (Lucene's DirectSpellChecker
+# ranking: distance ASC, df DESC, term ASC).  A present term is its own
+# distance-0 candidate, so "data" maps to itself; a hopeless term
+# ("zzz": nothing shares its prefix) drops out.  Pytest pins the
+# engine function to this oracle-tier plan on the same input.
+# ---------------------------------------------------------------------------
+
+SUGGEST_QUERIES = ("quary", "tabl", "joins", "data", "zzz")
+SUGGEST_MAX_EDITS, SUGGEST_PREFIX_LEN = 1, 1
+
+
+def q_spell_suggest(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    postings = (_tokens(docs).groupBy("term", "doc_id")
+                .agg(F.count("*").alias("tf")))
+    dictionary = postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"))
+    qdf = spark.createDataFrame(
+        [(q, q[:SUGGEST_PREFIX_LEN], len(q)) for q in SUGGEST_QUERIES],
+        "q string, pfx string, qlen int")
+    cond = (
+        (F.abs(F.length("term") - F.col("qlen")) <= SUGGEST_MAX_EDITS)
+        & F.col("term").startswith(F.col("pfx"))
+    )
+    cand = (
+        dictionary.join(F.broadcast(qdf), cond)
+        .withColumn("dist",
+                    F.levenshtein(F.col("term"), F.col("q")).cast("long"))
+        .filter(F.col("dist") <= SUGGEST_MAX_EDITS)
+    )
+    win = Window.partitionBy("q").orderBy(
+        F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
+    return (
+        cand.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .select("q", F.col("term").alias("suggestion"), "dist", "df")
+    )
+
+
+def _sql_suggest() -> str:
+    values = ", ".join(f"('{q}')" for q in SUGGEST_QUERIES)
+    return f"""
+WITH {SQL_TOKS},
+postings AS (SELECT term, doc_id FROM toks2 GROUP BY 1, 2),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+qs(q) AS (VALUES {values}),
+cand AS (
+    SELECT qs.q, d.term, levenshtein(d.term, qs.q)::BIGINT AS dist, d.df
+    FROM dict d
+    JOIN qs ON abs(len(d.term) - len(qs.q)) <= {SUGGEST_MAX_EDITS}
+           AND substr(d.term, 1, {SUGGEST_PREFIX_LEN})
+               = substr(qs.q, 1, {SUGGEST_PREFIX_LEN})
+    WHERE levenshtein(d.term, qs.q) <= {SUGGEST_MAX_EDITS}
+),
+best AS (
+    SELECT q, term AS suggestion, dist, df,
+           row_number() OVER (PARTITION BY q
+                              ORDER BY dist ASC, df DESC, term ASC) AS rn
+    FROM cand
+)
+SELECT q, suggestion, dist, df FROM best WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# search + highlight (q58): the full result-page plan — OR-mode BM25
+# top-k over the query terms, then the best snippet window per result
+# doc from the positional stream (operators/phrase.snippet_windows with
+# the top-k subplan broadcast as the doc list, no collect between the
+# two stages).  The Spark window scan is an O(hits^2) array expression
+# inside one per-doc agg; the DuckDB twin is the equivalent relational
+# self-join over hit positions — independent formulations, same spans.
+# ---------------------------------------------------------------------------
+
+SNIP_TERMS, SNIP_WIDTH, SNIP_K = ("hash", "join"), 12, 10
+
+
+def q_snippets(spark, sf_dir):
+    from .operators.phrase import snippet_windows, token_positions
+
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs)
+    n_docs = docs.count()
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = toks.count() / n_docs
+    dictionary = postings.groupBy("term").agg(F.count("*").alias("df"))
+    terms = spark.createDataFrame([(t,) for t in SNIP_TERMS], "term string")
+    tdf = dictionary.join(F.broadcast(terms), "term").withColumn(
+        "idf", F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                     / (F.col("df") + 0.5) + 1.0))
+    matches = (
+        postings.join(F.broadcast(tdf.select("term", "idf")), "term")
+        .join(dl, "doc_id")
+    )
+    w = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+    )
+    scores = matches.groupBy("doc_id").agg(
+        F.round(F.sum(F.col("idf") * w), 6).alias("score"))
+    topk = scores.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()).limit(SNIP_K)
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    ranked = (topk.withColumn("rank", F.row_number().over(win).cast("long"))
+              .select("rank", "doc_id", "score"))
+    snips = snippet_windows(token_positions(docs), ranked.select("doc_id"),
+                            list(SNIP_TERMS), width=SNIP_WIDTH)
+    return ranked.join(snips, "doc_id").select(
+        "rank", "doc_id", "score", "win_start", "n_hits")
+
+
+SQL_SNIPPETS = f"""
+WITH {SQL_TOKS},
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks2 GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM toks2)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q AS (
+    SELECT d.term, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+    FROM dict d, consts c
+    WHERE d.term IN {tuple(SNIP_TERMS)!r}
+),
+scores AS (
+    SELECT p.doc_id,
+           round(sum(q.idf * ((p.tf * {K1 + 1.0}) /
+                 (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))))), 6)
+               AS score
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+    GROUP BY p.doc_id
+),
+topk AS (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+           doc_id, score
+    FROM scores ORDER BY score DESC, doc_id ASC LIMIT {SNIP_K}
+),
+seq AS (
+    SELECT doc_id,
+           string_split_regex(
+               trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')),
+               '\\s+') AS tokens
+    FROM documents
+    WHERE doc_id IN (SELECT doc_id FROM topk)
+),
+posq AS (
+    SELECT doc_id, unnest(tokens) AS term,
+           generate_subscripts(tokens, 1) - 1 AS pos
+    FROM seq
+),
+hits AS (
+    SELECT doc_id, pos FROM posq WHERE term IN {tuple(SNIP_TERMS)!r}
+),
+wins AS (
+    SELECT a.doc_id, a.pos AS win_start, count(*)::BIGINT AS n_hits
+    FROM hits a
+    JOIN hits b ON b.doc_id = a.doc_id
+              AND b.pos >= a.pos AND b.pos < a.pos + {SNIP_WIDTH}
+    GROUP BY 1, 2
+),
+best AS (
+    SELECT doc_id, win_start, n_hits,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY n_hits DESC, win_start ASC) AS rn
+    FROM wins
+)
+SELECT t.rank, t.doc_id, t.score,
+       b.win_start::BIGINT AS win_start, b.n_hits
+FROM topk t JOIN best b ON b.doc_id = t.doc_id AND b.rn = 1
+ORDER BY t.rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2682,6 +2867,8 @@ def queries() -> dict:
         "q54_facet_counts": q_facet_counts,
         "q55_related_terms": q_related_terms,
         "q56_zone_search": q_zone_search,
+        "q57_spell_suggest": q_spell_suggest,
+        "q58_snippets": q_snippets,
     }
 
 
@@ -2744,4 +2931,6 @@ def oracle_sql() -> dict:
         "q54_facet_counts": SQL_FACET_COUNTS,
         "q55_related_terms": SQL_RELATED_TERMS,
         "q56_zone_search": SQL_ZONE_SEARCH,
+        "q57_spell_suggest": _sql_suggest(),
+        "q58_snippets": SQL_SNIPPETS,
     }

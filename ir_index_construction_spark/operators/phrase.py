@@ -183,13 +183,21 @@ def snippet_windows(positions: DataFrame, doc_ids, terms: list,
     stream by these offsets to render the snippet — the engine returns
     spans, like any search backend's highlighter.
 
+    ``doc_ids`` is either a Python iterable of ids (the collected
+    top-k page — the serving path) or a DataFrame with a ``doc_id``
+    column (a top-k subplan composed in the same job — the driver's
+    q58 search+highlight plan); both broadcast into the semi-join.
+
     Plan: pruned positions scan -> broadcast semi-join on the (top-k
     sized) doc list -> one per-doc agg; the window scan is an
     O(hits^2) array expression inside codegen, bounded by the doc's
     query-term hits, never a self-join."""
     spark = positions.sparkSession
-    ids = F.broadcast(spark.createDataFrame(
-        [(int(d),) for d in doc_ids], "doc_id long"))
+    if isinstance(doc_ids, DataFrame):
+        ids = F.broadcast(doc_ids.select("doc_id"))
+    else:
+        ids = F.broadcast(spark.createDataFrame(
+            [(int(d),) for d in doc_ids], "doc_id long"))
     p = positions.filter(F.col("term").isin(list(set(terms)))).join(
         ids, "doc_id", "left_semi")
     if plural:

@@ -443,3 +443,25 @@ def test_batch_matcher_equals_array_matcher(spark, pos_build):
         a = phrase_match(positions, terms, pos_col="positions", plural=True)
         b = batch.filter(F.col("query_id") == qid).select("doc_id", "ptf")
         assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), qid
+
+
+def test_snippet_windows_accepts_doc_id_frame(spark):
+    """The q58 search+highlight composition passes the top-k subplan as
+    a DataFrame instead of a collected id list; both spellings of
+    ``doc_ids`` must produce identical spans."""
+    from ir_index_construction_spark.operators.phrase import (
+        snippet_windows, token_positions)
+
+    docs = spark.createDataFrame(
+        [(0, "a b c a x x a"), (1, "x a x c x"), (2, "c c c"),
+         (3, "x x x")],
+        "doc_id long, text string")
+    pos = token_positions(docs)
+    ids = [0, 1, 2]
+    by_list = sorted(
+        snippet_windows(pos, ids, ["a", "c"], width=3).collect())
+    id_frame = docs.filter(F.col("doc_id") < 3).select("doc_id")
+    by_frame = sorted(
+        snippet_windows(pos, id_frame, ["a", "c"], width=3).collect())
+    assert by_list == by_frame and len(by_list) == 3
+    assert {r["doc_id"] for r in by_list} == {0, 1, 2}
