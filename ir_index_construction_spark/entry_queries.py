@@ -2806,6 +2806,111 @@ ORDER BY t.rank
 
 
 # ---------------------------------------------------------------------------
+# search-after pagination (q59): page 2 of an OR-mode BM25 result via a
+# (score, doc_id) cursor — the stateless deep-pagination contract
+# (Elasticsearch search_after; wand_topk(after=) /
+# bm25_topk_exhaustive(after=) on the engine tier, pytest-tiled against
+# deep runs).  The cursor row (rank-10 score/doc_id) is computed IN the
+# same plan and broadcasts into the strictly-after predicate — no
+# driver round trip between pages here; the DuckDB twin is the
+# equivalent OFFSET formulation spelled with the same cursor join.
+# ---------------------------------------------------------------------------
+
+PAGE_TERMS, PAGE_K = ("vector", "merge"), 10
+
+
+def q_search_after(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs)
+    n_docs = docs.count()
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = toks.count() / n_docs
+    dictionary = postings.groupBy("term").agg(F.count("*").alias("df"))
+    terms = spark.createDataFrame([(t,) for t in PAGE_TERMS], "term string")
+    tdf = dictionary.join(F.broadcast(terms), "term").withColumn(
+        "idf", F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                     / (F.col("df") + 0.5) + 1.0))
+    matches = (
+        postings.join(F.broadcast(tdf.select("term", "idf")), "term")
+        .join(dl, "doc_id")
+    )
+    w = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+    )
+    scores = matches.groupBy("doc_id").agg(
+        F.round(F.sum(F.col("idf") * w), 6).alias("score"))
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    cur = (
+        scores.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(PAGE_K)
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == PAGE_K)
+        .select(F.col("score").alias("cs"), F.col("doc_id").alias("cd"))
+    )
+    page2 = (
+        scores.join(F.broadcast(cur),
+                    (F.col("score") < F.col("cs"))
+                    | ((F.col("score") == F.col("cs"))
+                       & (F.col("doc_id") > F.col("cd"))))
+        .select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(PAGE_K)
+    )
+    return (
+        page2.withColumn("rank", F.row_number().over(win).cast("long"))
+        .select("rank", "doc_id", "score")
+    )
+
+
+SQL_SEARCH_AFTER = f"""
+WITH {SQL_TOKS},
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks2 GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM toks2)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q AS (
+    SELECT d.term, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+    FROM dict d, consts c
+    WHERE d.term IN {tuple(PAGE_TERMS)!r}
+),
+scores AS (
+    SELECT p.doc_id,
+           round(sum(q.idf * ((p.tf * {K1 + 1.0}) /
+                 (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))))), 6)
+               AS score
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+    GROUP BY p.doc_id
+),
+ranked AS (
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scores
+),
+cur AS (SELECT score AS cs, doc_id AS cd FROM ranked WHERE rn = {PAGE_K}),
+page2 AS (
+    SELECT s.doc_id, s.score
+    FROM scores s, cur
+    WHERE s.score < cur.cs OR (s.score = cur.cs AND s.doc_id > cur.cd)
+    ORDER BY s.score DESC, s.doc_id ASC
+    LIMIT {PAGE_K}
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, score
+FROM page2
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2869,6 +2974,7 @@ def queries() -> dict:
         "q56_zone_search": q_zone_search,
         "q57_spell_suggest": q_spell_suggest,
         "q58_snippets": q_snippets,
+        "q59_search_after": q_search_after,
     }
 
 
@@ -2933,4 +3039,5 @@ def oracle_sql() -> dict:
         "q56_zone_search": SQL_ZONE_SEARCH,
         "q57_spell_suggest": _sql_suggest(),
         "q58_snippets": SQL_SNIPPETS,
+        "q59_search_after": SQL_SEARCH_AFTER,
     }

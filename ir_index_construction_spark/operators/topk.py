@@ -129,7 +129,8 @@ def _as_exclude_array(exclude_ids) -> np.ndarray | None:
 def make_shard_scorer(term_meta: dict, ordered_terms: list, k: int,
                       is_bool: bool, avgdl: float, bm25: BM25Config,
                       stats: dict | None = None, weighted: bool = False,
-                      exclude_ids=None, bound_scale=None):
+                      exclude_ids=None, bound_scale=None,
+                      after: tuple | None = None):
     """term_meta: {term: (mult, idf)}; ordered_terms: distinct terms in
     query order (float-sum order contract with the oracle).  `stats` is a
     local-mode instrumentation dict (blocks_total/blocks_decoded).
@@ -150,7 +151,20 @@ def make_shard_scorer(term_meta: dict, ordered_terms: list, k: int,
     upper bound (w grows at most proportionally with avgdl), keeping
     pruning lossless over incrementally appended segments.  Scores
     themselves always use avgdl_now on the decoded tf/dl, so results
-    are identical to a full rebuild — only the pruning bound scales."""
+    are identical to a full rebuild — only the pruning bound scales.
+
+    after: search-after page cursor (score, doc_id) — the last row of
+    the previous page.  Only docs STRICTLY after the cursor in
+    (score DESC, doc_id ASC) order qualify, applied to the FINAL sums
+    before per-shard top-k selection (like exclude_ids, so backfill is
+    correct).  A cursor disables the seed-threshold block pruning:
+    theta lower-bounds the k-th best score of the UNFILTERED result,
+    which can exceed every page-2 score, so pruning against it would
+    cut blocks the page needs (lossless pruning under a cursor needs
+    block-MIN metadata the index doesn't carry — deep pages pay the
+    exhaustive decode over the term-pruned scan, as search engines
+    accept).  Scores are deterministic per index snapshot, so a cursor
+    taken from a previous page's row compares exactly."""
     k1, b = bm25.k1, bm25.b
     n_required = len(ordered_terms)
     exclude = _as_exclude_array(exclude_ids)
@@ -176,9 +190,10 @@ def make_shard_scorer(term_meta: dict, ordered_terms: list, k: int,
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})
 
-        # ---- seed threshold (OR mode, multi-term) ----
+        # ---- seed threshold (OR mode, multi-term; unsound under a
+        # page cursor — see the `after` docstring note) ----
         theta = -np.inf
-        if not is_bool and len(cursors) > 1:
+        if not is_bool and len(cursors) > 1 and after is None:
             seed = max(cursors, key=lambda t: (term_meta[t][0] * term_meta[t][1], t))
             cur = cursors[seed]
             if cur.n_postings >= k:
@@ -252,6 +267,14 @@ def make_shard_scorer(term_meta: dict, ordered_terms: list, k: int,
                 return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                      "score": pd.Series([], dtype="float64")})
 
+        if after is not None:
+            cs, cd = float(after[0]), int(after[1])
+            m = (sums < cs) | ((sums == cs) & (uniq_docs > cd))
+            uniq_docs, sums = uniq_docs[m], sums[m]
+            if len(uniq_docs) == 0:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                     "score": pd.Series([], dtype="float64")})
+
         order = np.lexsort((uniq_docs, -sums))[:k]
         return pd.DataFrame({"doc_id": uniq_docs[order],
                              "score": sums[order]})
@@ -264,7 +287,8 @@ def wand_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
               bm25: BM25Config = BM25Config(), weighted: bool = False,
               pre_parsed: tuple | None = None,
               idf_cache: dict | None = None,
-              exclude_ids=None, bound_scale=None) -> DataFrame:
+              exclude_ids=None, bound_scale=None,
+              after: tuple | None = None) -> DataFrame:
     """TOPK (rank, doc_id, url, score) via the compressed index.
 
     Plan: term-filtered scan of the index (parquet row-group pruning on
@@ -287,7 +311,12 @@ def wand_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
     because exclusion happens before per-shard top-k selection, and the
     idf/avgdl corpus stats intentionally stay those of the committed
     index (matching a rebuilt-minus-deletions index requires the
-    rebuild)."""
+    rebuild).
+
+    after=(score, doc_id): search-after pagination cursor — the last
+    row of the previous page; returns the NEXT k results (rank restarts
+    at 1 for the page).  See make_shard_scorer for the pruning
+    contract."""
     spark = index.sparkSession
     terms, is_bool = pre_parsed if pre_parsed is not None else parse_query(query)
     if not terms or n_docs == 0 or avgdl == 0:
@@ -305,7 +334,7 @@ def wand_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
     rows = index.filter(F.col("term").isin(ordered))
     scorer = make_shard_scorer(term_meta, ordered, k, is_bool, avgdl, bm25,
                                weighted=weighted, exclude_ids=exclude_ids,
-                               bound_scale=bound_scale)
+                               bound_scale=bound_scale, after=after)
     local = rows.groupBy("shard").applyInPandas(scorer, _LOCAL_SCHEMA)
     topk = local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
     return (

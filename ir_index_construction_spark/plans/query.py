@@ -538,6 +538,7 @@ def bm25_topk_exhaustive(
     exclude_ids=None,
     negated: list | None = None,
     min_imp: int | None = None,
+    after: tuple | None = None,
 ) -> DataFrame:
     """Returns TOPK (rank, doc_id, url, score).
 
@@ -571,7 +572,12 @@ def bm25_topk_exhaustive(
     In boolean mode every distinct term must qualify IN ZONE.  Zone
     restriction routes through this exhaustive plan by design: the
     compressed index's block-max bounds are not zone-conditional, so
-    WAND pruning cannot stay exact under an imp filter."""
+    WAND pruning cannot stay exact under an imp filter.
+
+    after=(score, doc_id): search-after pagination cursor — keep only
+    docs strictly after the cursor in (score DESC, doc_id ASC) order,
+    filtered BEFORE top-k selection; rank restarts at 1 for the page.
+    Same contract as wand_topk(after=)."""
     spark = postings.sparkSession
     terms, is_bool = pre_parsed if pre_parsed is not None else parse_query(query)
     if not terms or n_docs == 0 or avgdl == 0:
@@ -626,6 +632,11 @@ def bm25_topk_exhaustive(
             .select("doc_id").distinct()
         )
         scores = scores.join(neg_docs, "doc_id", "left_anti")
+    if after is not None:
+        cs, cd = float(after[0]), int(after[1])
+        scores = scores.filter(
+            (F.col("score") < cs)
+            | ((F.col("score") == cs) & (F.col("doc_id") > cd)))
 
     topk = (
         scores.select("doc_id", "score")

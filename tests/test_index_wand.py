@@ -772,3 +772,54 @@ def test_exhaustive_negation_excludes_and_backfills(built):
     assert [(r["doc_id"], r["score"]) for r in got] == \
         [(r["doc_id"], r["score"]) for r in survivors]
     assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+
+def test_wand_search_after_pages_tile_the_deep_run(built, index_df):
+    """Search-after pagination: page 2 = rows 11..20 of a deep run with
+    IDENTICAL scores/urls, rank restarting at 1 per page.  The cursor
+    disables seed-threshold pruning (theta from the unfiltered top-k can
+    exceed every page-2 score), so OR, duplicate-term, weighted and
+    boolean paths must all tile; a cursor past the last result yields an
+    empty page."""
+    cases = [("machine learning", {}),
+             ("learning machine learning", {}),
+             ("machine AND learning", {}),
+             ("machine learning", {"weighted": True})]
+    for q, kw in cases:
+        deep = wand_topk(index_df, built.dictionary, built.docs, q,
+                         built.n_docs, built.avgdl, k=30, **kw) \
+            .orderBy("rank").collect()
+        if len(deep) < 12:
+            continue
+        cur = (deep[9]["score"], deep[9]["doc_id"])
+        page2 = wand_topk(index_df, built.dictionary, built.docs, q,
+                          built.n_docs, built.avgdl, k=10, after=cur,
+                          **kw).orderBy("rank").collect()
+        assert [(r["doc_id"], r["url"], r["score"]) for r in page2] \
+            == [(r["doc_id"], r["url"], r["score"]) for r in deep[10:20]], q
+        assert [r["rank"] for r in page2] == list(range(1, len(page2) + 1))
+        # cursor past the end -> empty page
+        last = (deep[-1]["score"], deep[-1]["doc_id"])
+        if len(deep) < 30:            # deep run exhausted the corpus
+            beyond = wand_topk(index_df, built.dictionary, built.docs, q,
+                               built.n_docs, built.avgdl, k=10, after=last,
+                               **kw)
+            assert beyond.count() == 0, q
+
+
+def test_exhaustive_search_after_matches_wand_pages(built, index_df):
+    """The exhaustive plan's after= cursor implements the same contract:
+    its page 2 is bit-identical to the WAND page 2 (both tiers already
+    agree on page 1 by the rank-identity tests)."""
+    from ir_index_construction_spark.plans.query import bm25_topk_exhaustive
+
+    q = "machine learning"
+    deep = wand_topk(index_df, built.dictionary, built.docs, q,
+                     built.n_docs, built.avgdl, k=30).orderBy("rank").collect()
+    assert len(deep) >= 12
+    cur = (deep[9]["score"], deep[9]["doc_id"])
+    ex = bm25_topk_exhaustive(built.postings, built.dictionary, built.docs,
+                              q, built.n_docs, built.avgdl, k=10,
+                              after=cur).orderBy("rank").collect()
+    assert [(r["doc_id"], r["url"], r["score"]) for r in ex] \
+        == [(r["doc_id"], r["url"], r["score"]) for r in deep[10:20]]

@@ -6,7 +6,8 @@ the ranked URLs and the elapsed milliseconds until an empty line quits).
     spark-submit --py-files dist/engine.zip tools/submit_query.py \
         --catalog /data/index_catalog [--query "machine learning"] [-k 10]
         [--mode wand|exhaustive|phrase|prefix|fuzzy|mlt|related]
-        [--weighted] [--zone title] [--batch queries.txt]
+        [--weighted] [--zone title] [--after SCORE:DOC_ID]
+        [--batch queries.txt]
 
 --batch FILE evaluates every line of FILE as one query in a SINGLE
 Spark job (operators/topk.py wand_topk_batch) and prints per-query
@@ -16,8 +17,9 @@ Query surfaces (each also selected by syntax where noted): exact
 phrase ("double quoted"), prefix wildcard (trailing *), fuzzy
 (trailing ~), NOT-terms (-term), zone restriction (--zone title =
 in:title), more-like-this (--mode mlt, query is a doc_id), related
-terms (--mode related, PMI partners), and a "did you mean" line on
-zero-hit term queries.
+terms (--mode related, PMI partners), search-after deep pagination
+(--after SCORE:DOC_ID, the last row of the previous page), and a
+"did you mean" line on zero-hit term queries.
 
 Without --query, enters the REPL:
 
@@ -97,7 +99,7 @@ class QueryService:
         return self._f, self._tsc.for_snapshot(cid)
 
     def run(self, query: str, k: int, mode: str, weighted: bool,
-            zone: str | None = None):
+            zone: str | None = None, after: tuple | None = None):
         from ir_index_construction_spark.operators.topk import wand_topk
         from ir_index_construction_spark.plans.query import (
             bm25_topk_exhaustive, fuzzy_topk, more_like_this,
@@ -193,12 +195,13 @@ class QueryService:
                              query, f["n_docs"], f["avgdl"], k=k,
                              weighted=weighted, idf_cache=idf_cache,
                              exclude_ids=f["exclude_ids"],
-                             bound_scale=f["bound_scale"])
+                             bound_scale=f["bound_scale"], after=after)
         return bm25_topk_exhaustive(f["postings"], f["dictionary"],
                                     f["docs"], query, f["n_docs"],
                                     f["avgdl"], k=k, weighted=weighted,
                                     idf_cache=idf_cache,
-                                    exclude_ids=f["exclude_ids"])
+                                    exclude_ids=f["exclude_ids"],
+                                    after=after)
 
     def suggest(self, query: str) -> str | None:
         """'did you mean' for a zero-hit query: each absent term's
@@ -257,6 +260,10 @@ def main():
                     help="fielded search: only matches whose zone "
                          "importance reaches this tag's weight qualify "
                          "(in:title etc.); runs on the exhaustive plan")
+    ap.add_argument("--after", default=None, metavar="SCORE:DOC_ID",
+                    help="search-after pagination cursor — the score and "
+                         "doc_id of the last row of the previous page "
+                         "(stateless deep paging; wand/exhaustive modes)")
     ap.add_argument("--batch", default=None, metavar="FILE",
                     help="file with one query per line, all evaluated in "
                          "a single Spark job (wand_topk_batch)")
@@ -320,9 +327,16 @@ def main():
         if fix:
             print(f"  did you mean: {fix} ?")
 
+    after = None
+    if args.after is not None:
+        if args.mode not in ("wand", "exhaustive"):
+            raise SystemExit("--after applies to wand/exhaustive modes")
+        cs, _, cd = args.after.partition(":")
+        after = (float(cs), int(cd))
+
     if args.query is not None:
         out = service.run(args.query, args.k, args.mode, args.weighted,
-                          zone=args.zone)
+                          zone=args.zone, after=after)
         rows = out.orderBy(
             F.col(order_col).desc() if order_col == "pmi"
             else F.col(order_col).asc()).collect()
@@ -342,7 +356,7 @@ def main():
             break
         t0 = time.time()
         rows = service.run(query, args.k, args.mode, args.weighted,
-                           zone=args.zone) \
+                           zone=args.zone, after=after) \
             .orderBy(F.col(order_col).desc() if order_col == "pmi"
                      else F.col(order_col).asc()).collect()
         elapsed_ms = (time.time() - t0) * 1000.0
