@@ -2911,6 +2911,91 @@ ORDER BY rank
 
 
 # ---------------------------------------------------------------------------
+# scoring explain (q60): the Lucene-Explanation analogue — the per-term
+# BM25 breakdown (tf, dl, df, idf, tf-normalization w, contribution)
+# for the query's TOP doc, the doc selected in the same plan (no
+# driver round trip).  Engine tier: plans/query.explain_score over the
+# catalog postings, pytest-pinned to sum exactly to the ranked score
+# in plain/weighted/duplicate-term/boolean modes.
+# ---------------------------------------------------------------------------
+
+EXPLAIN_TERMS = ("data", "query")
+
+
+def q_explain(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs)
+    n_docs = docs.count()
+    postings = toks.groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    avgdl = toks.count() / n_docs
+    dictionary = postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"))
+    terms = spark.createDataFrame([(t,) for t in EXPLAIN_TERMS],
+                                  "term string")
+    tdf = dictionary.join(F.broadcast(terms), "term").withColumn(
+        "idf", F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                     / (F.col("df") + 0.5) + 1.0))
+    matches = (
+        postings.join(F.broadcast(tdf.select("term", "df", "idf")), "term")
+        .join(dl, "doc_id")
+    )
+    w = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+    )
+    scores = matches.groupBy("doc_id").agg(
+        F.round(F.sum(F.col("idf") * w), 6).alias("score"))
+    top1 = (scores.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(1).select("doc_id"))
+    return (
+        matches.join(F.broadcast(top1), "doc_id", "left_semi")
+        .select("doc_id", "term", "tf", "dl", "df",
+                F.round(F.col("idf"), 6).alias("idf"),
+                F.round(w, 6).alias("w"),
+                F.round(F.col("idf") * w, 6).alias("contribution"))
+    )
+
+
+SQL_EXPLAIN = f"""
+WITH {SQL_TOKS},
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks2 GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM toks2)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q AS (
+    SELECT d.term, d.df,
+           ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+    FROM dict d, consts c
+    WHERE d.term IN {tuple(EXPLAIN_TERMS)!r}
+),
+matches AS (
+    SELECT p.doc_id, p.term, p.tf, dl.dl, q.df, q.idf,
+           (p.tf * {K1 + 1.0}) /
+               (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))) AS w
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+),
+scores AS (
+    SELECT doc_id, round(sum(idf * w), 6) AS score
+    FROM matches GROUP BY 1
+),
+top1 AS (SELECT doc_id FROM scores ORDER BY score DESC, doc_id ASC LIMIT 1)
+SELECT m.doc_id, m.term, m.tf, m.dl, m.df,
+       round(m.idf, 6) AS idf, round(m.w, 6) AS w,
+       round(m.idf * m.w, 6) AS contribution
+FROM matches m JOIN top1 USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2975,6 +3060,7 @@ def queries() -> dict:
         "q57_spell_suggest": q_spell_suggest,
         "q58_snippets": q_snippets,
         "q59_search_after": q_search_after,
+        "q60_explain": q_explain,
     }
 
 
@@ -3040,4 +3126,5 @@ def oracle_sql() -> dict:
         "q57_spell_suggest": _sql_suggest(),
         "q58_snippets": SQL_SNIPPETS,
         "q59_search_after": SQL_SEARCH_AFTER,
+        "q60_explain": SQL_EXPLAIN,
     }

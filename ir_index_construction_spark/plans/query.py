@@ -443,6 +443,58 @@ def suggest_terms(dictionary: DataFrame, terms: list, max_edits: int = 1,
     return out
 
 
+def explain_score(postings: DataFrame, dictionary: DataFrame, query: str,
+                  doc_id: int, n_docs: int, avgdl: float,
+                  bm25: BM25Config = BM25Config(), weighted: bool = False,
+                  pre_parsed: tuple | None = None,
+                  idf_cache: dict | None = None) -> DataFrame:
+    """Per-term score breakdown for ONE (query, doc) pair — the Lucene
+    ``Explanation`` analogue a relevance engineer asks for when a doc
+    ranks surprisingly: (term, tf, imp, dl, df, mult, idf, w,
+    contribution), where ``w`` is the BM25 tf-normalization
+    tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)) (× imp/10 when ``weighted``)
+    and ``contribution = mult·idf·w`` — the exact addend the scorers
+    accumulate (operators/topk.py, plans/query.bm25_topk_exhaustive),
+    so the contributions sum to the doc's ranked score.
+
+    One tiny job: the postings scan prunes on BOTH the static term
+    isin() (row-group stats on the term-sorted layout) and the doc_id
+    equality; the <=10-row term/idf side broadcasts.  Terms absent from
+    the doc (or the dictionary) simply have no row — a boolean query's
+    explanation with fewer rows than distinct terms is itself the
+    explanation (the AND failed here)."""
+    spark = postings.sparkSession
+    terms, _ = pre_parsed if pre_parsed is not None else parse_query(query)
+    empty = spark.createDataFrame(
+        [], "term string, tf int, imp int, dl int, df long, mult int,"
+            " idf double, w double, contribution double")
+    if not terms or n_docs == 0 or avgdl == 0:
+        return empty
+    tf_idf = query_term_idf(spark, dictionary, terms, n_docs, cache=idf_cache)
+    counts = Counter(terms)
+    present = [t for t in counts if t in tf_idf]
+    if not present:
+        return empty
+    terms_df = spark.createDataFrame(
+        [(t, counts[t], int(tf_idf[t][0]), tf_idf[t][1]) for t in present],
+        "term string, mult int, df long, idf double")
+    k1, b = bm25.k1, bm25.b
+    w = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.lit(avgdl)))
+    )
+    if weighted:
+        w = w * (F.col("imp") / F.lit(10.0))
+    rows = (
+        postings.filter((F.col("doc_id") == int(doc_id))
+                        & F.col("term").isin(present))
+        .join(F.broadcast(terms_df), "term")
+    )
+    return rows.select(
+        "term", "tf", "imp", "dl", "df", "mult", "idf", w.alias("w"),
+        ((F.col("mult") * F.col("idf")) * w).alias("contribution"))
+
+
 def mlt_terms(postings: DataFrame, dictionary: DataFrame, doc_id: int,
               n_docs: int, max_terms: int = 10) -> list:
     """The seed document's term vector ranked by tf·idf — the query an

@@ -823,3 +823,38 @@ def test_exhaustive_search_after_matches_wand_pages(built, index_df):
                               after=cur).orderBy("rank").collect()
     assert [(r["doc_id"], r["url"], r["score"]) for r in ex] \
         == [(r["doc_id"], r["url"], r["score"]) for r in deep[10:20]]
+
+
+def test_explain_score_sums_to_ranked_score(built, index_df):
+    """The Lucene-Explanation analogue: per-term contributions for a
+    (query, doc) pair sum to the doc's ranked score, in plain, weighted,
+    duplicate-term and boolean modes; a term the doc lacks has no row."""
+    from ir_index_construction_spark.plans.query import explain_score
+
+    cases = [("machine learning", {}),
+             ("learning machine learning", {}),
+             ("machine AND learning", {}),
+             ("machine learning", {"weighted": True})]
+    for q, kw in cases:
+        top = wand_topk(index_df, built.dictionary, built.docs, q,
+                        built.n_docs, built.avgdl, k=3, **kw) \
+            .orderBy("rank").collect()
+        assert top, q
+        for r in top:
+            ex = explain_score(built.postings, built.dictionary, q,
+                               r["doc_id"], built.n_docs, built.avgdl,
+                               **kw).collect()
+            assert ex, q
+            total = math.fsum(e["contribution"] for e in ex)
+            assert math.isclose(total, r["score"], rel_tol=1e-12), \
+                (q, r["doc_id"], total, r["score"])
+            for e in ex:
+                assert e["df"] >= 1 and e["tf"] >= 1
+                assert math.isclose(
+                    e["contribution"], e["mult"] * e["idf"] * e["w"],
+                    rel_tol=1e-12)
+    # absent term -> no row for it; present term still explained
+    ex = explain_score(built.postings, built.dictionary,
+                       "machine zzzymissing", top[0]["doc_id"],
+                       built.n_docs, built.avgdl).collect()
+    assert {e["term"] for e in ex} <= {"machin"}

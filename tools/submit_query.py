@@ -18,8 +18,9 @@ phrase ("double quoted"), prefix wildcard (trailing *), fuzzy
 (trailing ~), NOT-terms (-term), zone restriction (--zone title =
 in:title), more-like-this (--mode mlt, query is a doc_id), related
 terms (--mode related, PMI partners), search-after deep pagination
-(--after SCORE:DOC_ID, the last row of the previous page), and a
-"did you mean" line on zero-hit term queries.
+(--after SCORE:DOC_ID, the last row of the previous page), a per-term
+score breakdown (--explain DOC_ID, the Lucene Explanation analogue),
+and a "did you mean" line on zero-hit term queries.
 
 Without --query, enters the REPL:
 
@@ -33,6 +34,7 @@ Without --query, enters the REPL:
 from __future__ import annotations
 
 import argparse
+import math
 import sys
 import time
 from pathlib import Path
@@ -203,6 +205,17 @@ class QueryService:
                                     exclude_ids=f["exclude_ids"],
                                     after=after)
 
+    def explain(self, query: str, doc_id: int, weighted: bool = False):
+        """Per-term BM25 breakdown for one (query, doc) pair — the
+        Lucene Explanation analogue (plans/query.explain_score); the
+        contributions sum to the doc's ranked score."""
+        from ir_index_construction_spark.plans.query import explain_score
+
+        f, idf_cache = self._refresh()
+        return explain_score(f["postings"], f["dictionary"], query,
+                             doc_id, f["n_docs"], f["avgdl"],
+                             weighted=weighted, idf_cache=idf_cache)
+
     def suggest(self, query: str) -> str | None:
         """'did you mean' for a zero-hit query: each absent term's
         closest indexed neighbor (plans/query.py suggest_terms).
@@ -260,6 +273,9 @@ def main():
                     help="fielded search: only matches whose zone "
                          "importance reaches this tag's weight qualify "
                          "(in:title etc.); runs on the exhaustive plan")
+    ap.add_argument("--explain", default=None, type=int, metavar="DOC_ID",
+                    help="print the per-term BM25 score breakdown for "
+                         "this doc under --query instead of searching")
     ap.add_argument("--after", default=None, metavar="SCORE:DOC_ID",
                     help="search-after pagination cursor — the score and "
                          "doc_id of the last row of the previous page "
@@ -326,6 +342,23 @@ def main():
         fix = service.suggest(query)
         if fix:
             print(f"  did you mean: {fix} ?")
+
+    if args.explain is not None:
+        if args.query is None:
+            raise SystemExit("--explain needs --query")
+        rows = service.explain(args.query, args.explain,
+                               weighted=args.weighted) \
+            .orderBy(F.col("contribution").desc()).collect()
+        if not rows:
+            print("  (doc matches no query term)")
+            return
+        total = math.fsum(r["contribution"] for r in rows)
+        for r in rows:
+            print(f"  {r['term']:24} tf={r['tf']:<5} dl={r['dl']:<6} "
+                  f"df={r['df']:<8} idf={r['idf']:.4f} w={r['w']:.4f} "
+                  f"-> {r['contribution']:.4f}")
+        print(f"  {'total':24} {total:.4f}")
+        return
 
     after = None
     if args.after is not None:
