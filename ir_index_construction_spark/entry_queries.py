@@ -2996,6 +2996,102 @@ FROM matches m JOIN top1 USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# field collapsing (q61): one best result per collapse key, ranked —
+# the Elasticsearch `collapse` / "one result per site" page shape.
+# Collapse runs over the FULL scored candidate set (cutting to a page
+# first could hand the page to one dominant key and under-fill after
+# collapsing); the per-key best is a rank window hash-partitioned on
+# the key.  Engine tier: plans/query.collapse_by_domain (url host as
+# the key), pytest-pinned to the brute-force collapse of a deep run;
+# here the key is the documents table's `source` column.
+# ---------------------------------------------------------------------------
+
+COLLAPSE_TERMS, COLLAPSE_K = ("stream", "window"), 10
+
+
+def q_collapse(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs)
+    n_docs = docs.count()
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = toks.count() / n_docs
+    dictionary = postings.groupBy("term").agg(F.count("*").alias("df"))
+    terms = spark.createDataFrame([(t,) for t in COLLAPSE_TERMS],
+                                  "term string")
+    tdf = dictionary.join(F.broadcast(terms), "term").withColumn(
+        "idf", F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                     / (F.col("df") + 0.5) + 1.0))
+    matches = (
+        postings.join(F.broadcast(tdf.select("term", "idf")), "term")
+        .join(dl, "doc_id")
+    )
+    w = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+    )
+    scores = matches.groupBy("doc_id").agg(
+        F.round(F.sum(F.col("idf") * w), 6).alias("score"))
+    cand = docs.select("doc_id", "source").join(scores, "doc_id")
+    best = (
+        cand.withColumn("_rn", F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.col("score").desc(), F.col("doc_id").asc())))
+        .filter(F.col("_rn") == 1)
+    )
+    topk = best.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()).limit(COLLAPSE_K)
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(win).cast("long"))
+        .select("rank", "doc_id", "source", "score")
+    )
+
+
+SQL_COLLAPSE = f"""
+WITH {SQL_TOKS},
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks2 GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM toks2)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q AS (
+    SELECT d.term, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+    FROM dict d, consts c
+    WHERE d.term IN {tuple(COLLAPSE_TERMS)!r}
+),
+scores AS (
+    SELECT p.doc_id,
+           round(sum(q.idf * ((p.tf * {K1 + 1.0}) /
+                 (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))))), 6)
+               AS score
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+    GROUP BY p.doc_id
+),
+best AS (
+    SELECT d.doc_id, d.source, s.score,
+           row_number() OVER (PARTITION BY d.source
+                              ORDER BY s.score DESC, d.doc_id ASC) AS rn
+    FROM documents d JOIN scores s ON s.doc_id = d.doc_id
+),
+page AS (
+    SELECT doc_id, source, score FROM best WHERE rn = 1
+    ORDER BY score DESC, doc_id ASC LIMIT {COLLAPSE_K}
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, source, score
+FROM page
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3061,6 +3157,7 @@ def queries() -> dict:
         "q58_snippets": q_snippets,
         "q59_search_after": q_search_after,
         "q60_explain": q_explain,
+        "q61_collapse": q_collapse,
     }
 
 
@@ -3127,4 +3224,5 @@ def oracle_sql() -> dict:
         "q58_snippets": SQL_SNIPPETS,
         "q59_search_after": SQL_SEARCH_AFTER,
         "q60_explain": SQL_EXPLAIN,
+        "q61_collapse": SQL_COLLAPSE,
     }

@@ -575,6 +575,72 @@ def facet_by_domain(ranked: DataFrame) -> DataFrame:
     return facet_counts(ranked, dims, ["domain"])
 
 
+def _scored_candidates(postings: DataFrame, dictionary: DataFrame,
+                       query: str, n_docs: int, avgdl: float,
+                       bm25: BM25Config = BM25Config(),
+                       weighted: bool = False,
+                       pre_parsed: tuple | None = None,
+                       idf_cache: dict | None = None,
+                       exclude_ids=None,
+                       min_imp: int | None = None) -> DataFrame | None:
+    """The shared scoring core of the exhaustive query plans: parse ->
+    idf lookup -> term-pruned postings scan -> broadcast term join ->
+    one (doc_id) hash agg.  Returns a (doc_id, score, _nt) frame, or
+    None when the query can produce no result (empty/absent-AND-term).
+    Float op order matches codec.bm25_tf_norm / the oracle exactly —
+    every consumer (top-k, NOT, zones, collapse) ranks on bit-identical
+    scores."""
+    spark = postings.sparkSession
+    terms, is_bool = pre_parsed if pre_parsed is not None else parse_query(query)
+    if not terms or n_docs == 0 or avgdl == 0:
+        return None
+
+    tf_idf = query_term_idf(spark, dictionary, terms, n_docs, cache=idf_cache)
+    counts = Counter(terms)
+    present = [t for t in counts if t in tf_idf]
+    if is_bool and len(present) < len(counts):
+        return None                       # absent AND-term -> empty
+    if not present:
+        return None
+
+    terms_df = spark.createDataFrame(
+        [(t, counts[t], tf_idf[t][1]) for t in present],
+        "term string, mult int, idf double",
+    )
+
+    k1, b = bm25.k1, bm25.b
+    # same float op order as codec.bm25_tf_norm / the oracle:
+    # w = tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)); [w *= imp/10.0 if
+    # weighted]; contrib = (mult*idf)*w
+    w = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.lit(avgdl)))
+    )
+    if weighted:
+        w = w * (F.col("imp") / F.lit(10.0))
+    contrib = (F.col("mult") * F.col("idf")) * w
+    # explicit isin() before the broadcast join: the join itself would not
+    # push term predicates into the parquet scan; the static filter does
+    # (row-group stats on the term-sorted layout skip non-query terms)
+    matches = (
+        postings.filter(F.col("term").isin(present))
+        .join(F.broadcast(terms_df), "term", "inner")
+    )
+    if min_imp is not None:
+        matches = matches.filter(F.col("imp") >= min_imp)
+    if exclude_ids:
+        dead = spark.createDataFrame(
+            [(int(i),) for i in sorted(exclude_ids)], "doc_id long")
+        matches = matches.join(F.broadcast(dead), "doc_id", "left_anti")
+    scores = matches.groupBy("doc_id").agg(
+        F.sum(contrib).alias("score"),
+        F.count("*").alias("_nt"),        # (term,doc) unique -> distinct terms
+    )
+    if is_bool:
+        scores = scores.filter(F.col("_nt") == len(present))
+    return scores
+
+
 def bm25_topk_exhaustive(
     postings: DataFrame,
     dictionary: DataFrame,
@@ -630,54 +696,12 @@ def bm25_topk_exhaustive(
     docs strictly after the cursor in (score DESC, doc_id ASC) order,
     filtered BEFORE top-k selection; rank restarts at 1 for the page.
     Same contract as wand_topk(after=)."""
+    scores = _scored_candidates(postings, dictionary, query, n_docs,
+                                avgdl, bm25, weighted, pre_parsed,
+                                idf_cache, exclude_ids, min_imp)
     spark = postings.sparkSession
-    terms, is_bool = pre_parsed if pre_parsed is not None else parse_query(query)
-    if not terms or n_docs == 0 or avgdl == 0:
+    if scores is None:
         return empty_topk(spark)
-
-    tf_idf = query_term_idf(spark, dictionary, terms, n_docs, cache=idf_cache)
-    counts = Counter(terms)
-    present = [t for t in counts if t in tf_idf]
-    if is_bool and len(present) < len(counts):
-        return empty_topk(spark)          # absent AND-term -> empty
-    if not present:
-        return empty_topk(spark)
-
-    terms_df = spark.createDataFrame(
-        [(t, counts[t], tf_idf[t][1]) for t in present],
-        "term string, mult int, idf double",
-    )
-
-    k1, b = bm25.k1, bm25.b
-    # same float op order as codec.bm25_tf_norm / the oracle:
-    # w = tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)); [w *= imp/10.0 if
-    # weighted]; contrib = (mult*idf)*w
-    w = (F.col("tf") * F.lit(k1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.lit(avgdl)))
-    )
-    if weighted:
-        w = w * (F.col("imp") / F.lit(10.0))
-    contrib = (F.col("mult") * F.col("idf")) * w
-    # explicit isin() before the broadcast join: the join itself would not
-    # push term predicates into the parquet scan; the static filter does
-    # (row-group stats on the term-sorted layout skip non-query terms)
-    matches = (
-        postings.filter(F.col("term").isin(present))
-        .join(F.broadcast(terms_df), "term", "inner")
-    )
-    if min_imp is not None:
-        matches = matches.filter(F.col("imp") >= min_imp)
-    if exclude_ids:
-        dead = spark.createDataFrame(
-            [(int(i),) for i in sorted(exclude_ids)], "doc_id long")
-        matches = matches.join(F.broadcast(dead), "doc_id", "left_anti")
-    scores = matches.groupBy("doc_id").agg(
-        F.sum(contrib).alias("score"),
-        F.count("*").alias("_nt"),        # (term,doc) unique -> distinct terms
-    )
-    if is_bool:
-        scores = scores.filter(F.col("_nt") == len(present))
     if negated:
         neg_docs = (
             postings.filter(F.col("term").isin(sorted(set(negated))))
@@ -702,3 +726,52 @@ def bm25_topk_exhaustive(
         ).cast("int"),
     )
     return ranked.select("rank", "doc_id", "url", "score")
+
+
+def collapse_by_domain(postings: DataFrame, dictionary: DataFrame,
+                       docs: DataFrame, query: str, n_docs: int,
+                       avgdl: float, k: int = 10,
+                       bm25: BM25Config = BM25Config(),
+                       weighted: bool = False,
+                       pre_parsed: tuple | None = None,
+                       idf_cache: dict | None = None,
+                       exclude_ids=None) -> DataFrame:
+    """Field-collapsed top-k (Elasticsearch ``collapse`` / the classic
+    web-search "one result per site" clustering): the BEST-scoring doc
+    per url host, then the top ``k`` hosts by that doc's score.
+    Returns TOPK (rank, doc_id, url, score) — ``rank`` is the page
+    position, one row per domain.
+
+    Collapse runs over the FULL scored candidate set, not a pre-cut
+    page: cutting to k docs first could hand the whole page to one
+    dominant domain and under-fill after collapsing (the same
+    backfill-before-cut rule tombstones and NOT-terms follow).  Plan:
+    the shared exhaustive scoring core -> docs join for the url ->
+    per-domain rank window HASH-PARTITIONED on domain (a domain's
+    candidates co-locate; never a single global window) -> rn=1 ->
+    TakeOrderedAndProject k."""
+    scores = _scored_candidates(postings, dictionary, query, n_docs,
+                                avgdl, bm25, weighted, pre_parsed,
+                                idf_cache, exclude_ids)
+    spark = postings.sparkSession
+    if scores is None:
+        return empty_topk(spark)
+    cand = (
+        docs.join(scores.select("doc_id", "score"), "doc_id", "inner")
+        .withColumn("domain", F.regexp_extract(
+            "url", r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
+    )
+    best = (
+        cand.withColumn("_rn", F.row_number().over(
+            Window.partitionBy("domain").orderBy(
+                F.col("score").desc(), F.col("doc_id").asc())))
+        .filter(F.col("_rn") == 1)
+    )
+    topk = best.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    return (
+        topk.withColumn("rank", F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        ).cast("int"))
+        .select("rank", "doc_id", "url", "score")
+    )

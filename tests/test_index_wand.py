@@ -858,3 +858,38 @@ def test_explain_score_sums_to_ranked_score(built, index_df):
                        "machine zzzymissing", top[0]["doc_id"],
                        built.n_docs, built.avgdl).collect()
     assert {e["term"] for e in ex} <= {"machin"}
+
+
+def test_collapse_by_domain_matches_bruteforce(built, index_df):
+    """Field collapsing: one best doc per url host, ranked — equals the
+    brute-force collapse of a deep exhaustive run (so the collapse runs
+    over the FULL candidate set, not a pre-cut page); scores are the
+    ranked scores; absent-AND-term queries collapse to empty."""
+    import re
+
+    from ir_index_construction_spark.plans.query import (
+        bm25_topk_exhaustive, collapse_by_domain)
+
+    for q in ["machine learning", "machine AND learning"]:
+        deep = bm25_topk_exhaustive(
+            built.postings, built.dictionary, built.docs, q,
+            built.n_docs, built.avgdl, k=10_000).orderBy("rank").collect()
+        best: dict = {}
+        for r in deep:                      # deep is (score desc, id asc)
+            dom = re.match(r"^[a-z][a-z0-9+.-]*://([^/?#]+)", r["url"]).group(1)
+            best.setdefault(dom, r)
+        want = sorted(best.values(),
+                      key=lambda r: (-r["score"], r["doc_id"]))[:10]
+        got = collapse_by_domain(
+            built.postings, built.dictionary, built.docs, q,
+            built.n_docs, built.avgdl, k=10).orderBy("rank").collect()
+        assert [(r["doc_id"], r["url"], r["score"]) for r in got] \
+            == [(r["doc_id"], r["url"], r["score"]) for r in want], q
+        assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+        # one row per domain
+        doms = [re.match(r"^[a-z][a-z0-9+.-]*://([^/?#]+)", r["url"]).group(1)
+                for r in got]
+        assert len(doms) == len(set(doms))
+    assert collapse_by_domain(
+        built.postings, built.dictionary, built.docs,
+        "machine AND zzzymissing", built.n_docs, built.avgdl).count() == 0

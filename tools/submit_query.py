@@ -20,7 +20,8 @@ in:title), more-like-this (--mode mlt, query is a doc_id), related
 terms (--mode related, PMI partners), search-after deep pagination
 (--after SCORE:DOC_ID, the last row of the previous page), a per-term
 score breakdown (--explain DOC_ID, the Lucene Explanation analogue),
-and a "did you mean" line on zero-hit term queries.
+field collapsing (--collapse, one best result per url host), and a
+"did you mean" line on zero-hit term queries.
 
 Without --query, enters the REPL:
 
@@ -101,13 +102,22 @@ class QueryService:
         return self._f, self._tsc.for_snapshot(cid)
 
     def run(self, query: str, k: int, mode: str, weighted: bool,
-            zone: str | None = None, after: tuple | None = None):
+            zone: str | None = None, after: tuple | None = None,
+            collapse: bool = False):
         from ir_index_construction_spark.operators.topk import wand_topk
         from ir_index_construction_spark.plans.query import (
-            bm25_topk_exhaustive, fuzzy_topk, more_like_this,
-            phrase_topk_indexed, prefix_topk)
+            bm25_topk_exhaustive, collapse_by_domain, fuzzy_topk,
+            more_like_this, phrase_topk_indexed, prefix_topk)
 
         f, idf_cache = self._refresh()
+        # --collapse = one best result per url host ("one result per
+        # site"); runs over the FULL scored candidate set on the
+        # exhaustive plan — a pre-cut page could under-fill
+        if collapse:
+            return collapse_by_domain(
+                f["postings"], f["dictionary"], f["docs"], query,
+                f["n_docs"], f["avgdl"], k=k, weighted=weighted,
+                idf_cache=idf_cache, exclude_ids=f["exclude_ids"])
         # --zone TAG = fielded search: only matches whose zone
         # importance reaches the tag's weight qualify (in:title etc.).
         # Routes through the exhaustive plan — the compressed index's
@@ -273,6 +283,9 @@ def main():
                     help="fielded search: only matches whose zone "
                          "importance reaches this tag's weight qualify "
                          "(in:title etc.); runs on the exhaustive plan")
+    ap.add_argument("--collapse", action="store_true",
+                    help="field collapsing: one best result per url "
+                         "host (runs on the exhaustive plan)")
     ap.add_argument("--explain", default=None, type=int, metavar="DOC_ID",
                     help="print the per-term BM25 score breakdown for "
                          "this doc under --query instead of searching")
@@ -369,7 +382,8 @@ def main():
 
     if args.query is not None:
         out = service.run(args.query, args.k, args.mode, args.weighted,
-                          zone=args.zone, after=after)
+                          zone=args.zone, after=after,
+                          collapse=args.collapse)
         rows = out.orderBy(
             F.col(order_col).desc() if order_col == "pmi"
             else F.col(order_col).asc()).collect()
@@ -389,7 +403,8 @@ def main():
             break
         t0 = time.time()
         rows = service.run(query, args.k, args.mode, args.weighted,
-                           zone=args.zone, after=after) \
+                           zone=args.zone, after=after,
+                           collapse=args.collapse) \
             .orderBy(F.col(order_col).desc() if order_col == "pmi"
                      else F.col(order_col).asc()).collect()
         elapsed_ms = (time.time() - t0) * 1000.0
