@@ -3092,6 +3092,208 @@ ORDER BY rank
 
 
 # ---------------------------------------------------------------------------
+# autocomplete (q62): the search-box suggestion list — top dictionary
+# terms under a prefix ranked df DESC / term ASC (the exact
+# plans/query.expand_prefix contract, Lucene max_expansions).  The
+# StartsWith predicate pushes into the term-sorted dictionary scan.
+# ---------------------------------------------------------------------------
+
+AC_PREFIX, AC_K = "s", 8
+
+
+def q_autocomplete(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    postings = (_tokens(docs).groupBy("term", "doc_id")
+                .agg(F.count("*").alias("tf")))
+    dictionary = postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"))
+    top = (dictionary.filter(F.col("term").startswith(AC_PREFIX))
+           .orderBy(F.col("df").desc(), F.col("term").asc())
+           .limit(AC_K))
+    win = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    return (top.withColumn("rank", F.row_number().over(win).cast("long"))
+            .select("rank", "term", "df"))
+
+
+SQL_AUTOCOMPLETE = f"""
+WITH {SQL_TOKS},
+postings AS (SELECT term, doc_id FROM toks2 GROUP BY 1, 2),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+top AS (
+    SELECT term, df FROM dict
+    WHERE term LIKE '{AC_PREFIX}%'
+    ORDER BY df DESC, term ASC LIMIT {AC_K}
+)
+SELECT row_number() OVER (ORDER BY df DESC, term ASC)::BIGINT AS rank,
+       term, df
+FROM top ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# synonym search (q63): OR-mode synonym expansion — the query term's
+# synonym-map entries widen the term list (each member scoring with its
+# own idf, Elasticsearch's expand-at-query-time default).  The Spark
+# side runs text/normalize.expand_synonyms (pytest-pinned to equal the
+# widened plain query on both engine tiers); the twin spells the
+# expanded term set literally.
+# ---------------------------------------------------------------------------
+
+SYN_QUERY_TERMS, SYN_MAP = ("sort",), {"sort": ["order"]}
+
+
+def q_synonym_search(spark, sf_dir):
+    from .text.normalize import expand_synonyms
+
+    expanded = expand_synonyms(list(SYN_QUERY_TERMS), SYN_MAP)
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs)
+    n_docs = docs.count()
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = toks.count() / n_docs
+    dictionary = postings.groupBy("term").agg(F.count("*").alias("df"))
+    terms = spark.createDataFrame([(t,) for t in expanded], "term string")
+    tdf = dictionary.join(F.broadcast(terms), "term").withColumn(
+        "idf", F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                     / (F.col("df") + 0.5) + 1.0))
+    matches = (
+        postings.join(F.broadcast(tdf.select("term", "idf")), "term")
+        .join(dl, "doc_id")
+    )
+    w = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+    )
+    scores = matches.groupBy("doc_id").agg(
+        F.round(F.sum(F.col("idf") * w), 6).alias("score"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+    topk = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(win).cast("long"))
+        .select("rank", "doc_id", "n_terms", "score")
+    )
+
+
+def _sql_synonym_search() -> str:
+    from .text.normalize import expand_synonyms
+
+    expanded = tuple(expand_synonyms(list(SYN_QUERY_TERMS), SYN_MAP))
+    return f"""
+WITH {SQL_TOKS},
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks2 GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM toks2)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q AS (
+    SELECT d.term, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+    FROM dict d, consts c
+    WHERE d.term IN {expanded!r}
+),
+scores AS (
+    SELECT p.doc_id,
+           round(sum(q.idf * ((p.tf * {K1 + 1.0}) /
+                 (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))))), 6)
+               AS score,
+           count(*)::BIGINT AS n_terms
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+    GROUP BY p.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, n_terms, score
+FROM scores ORDER BY rank LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# metadata-filtered search (q64): BM25 restricted to an allowed-docs
+# set (here lang = 'en') — the language/license/tenant/ACL filter every
+# multilingual corpus needs.  The filter semi-joins BEFORE scoring so
+# top-k backfills from allowed docs only (engine tier:
+# bm25_topk_exhaustive(doc_filter=), pytest-pinned to the brute-force
+# filter of a deep run).
+# ---------------------------------------------------------------------------
+
+FILTER_TERMS, FILTER_LANG = ("batch", "merge"), "en"
+
+
+def q_filtered_search(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs)
+    n_docs = docs.count()
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = toks.count() / n_docs
+    dictionary = postings.groupBy("term").agg(F.count("*").alias("df"))
+    terms = spark.createDataFrame([(t,) for t in FILTER_TERMS],
+                                  "term string")
+    tdf = dictionary.join(F.broadcast(terms), "term").withColumn(
+        "idf", F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                     / (F.col("df") + 0.5) + 1.0))
+    allowed = docs.filter(F.col("lang") == FILTER_LANG).select("doc_id")
+    matches = (
+        postings.join(F.broadcast(tdf.select("term", "idf")), "term")
+        .join(dl, "doc_id")
+        .join(allowed, "doc_id", "left_semi")
+    )
+    w = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+    )
+    scores = matches.groupBy("doc_id").agg(
+        F.round(F.sum(F.col("idf") * w), 6).alias("score"))
+    topk = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(win).cast("long"))
+        .select("rank", "doc_id", "score")
+    )
+
+
+SQL_FILTERED_SEARCH = f"""
+WITH {SQL_TOKS},
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks2 GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM toks2)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q AS (
+    SELECT d.term, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+    FROM dict d, consts c
+    WHERE d.term IN {tuple(FILTER_TERMS)!r}
+),
+scores AS (
+    SELECT p.doc_id,
+           round(sum(q.idf * ((p.tf * {K1 + 1.0}) /
+                 (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))))), 6)
+               AS score
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+    WHERE p.doc_id IN (SELECT doc_id FROM documents
+                       WHERE lang = '{FILTER_LANG}')
+    GROUP BY p.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, score
+FROM scores ORDER BY rank LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3158,6 +3360,9 @@ def queries() -> dict:
         "q59_search_after": q_search_after,
         "q60_explain": q_explain,
         "q61_collapse": q_collapse,
+        "q62_autocomplete": q_autocomplete,
+        "q63_synonym_search": q_synonym_search,
+        "q64_filtered_search": q_filtered_search,
     }
 
 
@@ -3225,4 +3430,7 @@ def oracle_sql() -> dict:
         "q59_search_after": SQL_SEARCH_AFTER,
         "q60_explain": SQL_EXPLAIN,
         "q61_collapse": SQL_COLLAPSE,
+        "q62_autocomplete": SQL_AUTOCOMPLETE,
+        "q63_synonym_search": _sql_synonym_search(),
+        "q64_filtered_search": SQL_FILTERED_SEARCH,
     }

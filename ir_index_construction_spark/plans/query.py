@@ -582,14 +582,22 @@ def _scored_candidates(postings: DataFrame, dictionary: DataFrame,
                        pre_parsed: tuple | None = None,
                        idf_cache: dict | None = None,
                        exclude_ids=None,
-                       min_imp: int | None = None) -> DataFrame | None:
+                       min_imp: int | None = None,
+                       doc_filter: DataFrame | None = None) -> DataFrame | None:
     """The shared scoring core of the exhaustive query plans: parse ->
     idf lookup -> term-pruned postings scan -> broadcast term join ->
     one (doc_id) hash agg.  Returns a (doc_id, score, _nt) frame, or
     None when the query can produce no result (empty/absent-AND-term).
     Float op order matches codec.bm25_tf_norm / the oracle exactly —
     every consumer (top-k, NOT, zones, collapse) ranks on bit-identical
-    scores."""
+    scores.
+
+    doc_filter: optional frame with a ``doc_id`` column — metadata/ACL
+    filtered search (language, license, tenant, date-partition...).
+    Matches LEFT-SEMI join against it BEFORE the agg, so only allowed
+    docs are ever scored and top-k backfills correctly.  The filter is
+    data-sized in general, so this is a shuffle semi-join; a caller
+    holding a provably small set should pass F.broadcast(frame)."""
     spark = postings.sparkSession
     terms, is_bool = pre_parsed if pre_parsed is not None else parse_query(query)
     if not terms or n_docs == 0 or avgdl == 0:
@@ -632,6 +640,9 @@ def _scored_candidates(postings: DataFrame, dictionary: DataFrame,
         dead = spark.createDataFrame(
             [(int(i),) for i in sorted(exclude_ids)], "doc_id long")
         matches = matches.join(F.broadcast(dead), "doc_id", "left_anti")
+    if doc_filter is not None:
+        matches = matches.join(
+            doc_filter.select("doc_id"), "doc_id", "left_semi")
     scores = matches.groupBy("doc_id").agg(
         F.sum(contrib).alias("score"),
         F.count("*").alias("_nt"),        # (term,doc) unique -> distinct terms
@@ -657,6 +668,7 @@ def bm25_topk_exhaustive(
     negated: list | None = None,
     min_imp: int | None = None,
     after: tuple | None = None,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Returns TOPK (rank, doc_id, url, score).
 
@@ -695,10 +707,15 @@ def bm25_topk_exhaustive(
     after=(score, doc_id): search-after pagination cursor — keep only
     docs strictly after the cursor in (score DESC, doc_id ASC) order,
     filtered BEFORE top-k selection; rank restarts at 1 for the page.
-    Same contract as wand_topk(after=)."""
+    Same contract as wand_topk(after=).
+
+    doc_filter: optional allowed-docs frame (doc_id column) — metadata/
+    ACL filtered search, semi-joined before scoring (see
+    _scored_candidates)."""
     scores = _scored_candidates(postings, dictionary, query, n_docs,
                                 avgdl, bm25, weighted, pre_parsed,
-                                idf_cache, exclude_ids, min_imp)
+                                idf_cache, exclude_ids, min_imp,
+                                doc_filter)
     spark = postings.sparkSession
     if scores is None:
         return empty_topk(spark)

@@ -188,3 +188,26 @@ def parse_query_with_negation(query: str):
     terms, is_bool = parse_query(pos_raw)
     neg_terms, _ = parse_query(neg_raw)
     return terms, is_bool, neg_terms
+
+
+def expand_synonyms(terms: list, synonyms: dict) -> list:
+    """Beyond-reference query surface: OR-mode synonym expansion — each
+    query term is followed by its synonym-map entries (Elasticsearch's
+    default expand-at-query-time behavior: every member scores with its
+    OWN idf, so the expansion is a plain OR query over the widened term
+    list).  The map is in the INDEXED vocabulary (synonym files ship
+    stemmed, like any analyzer-chain synonym filter).  Original terms
+    pass through UNTOUCHED — a repeated query term keeps its
+    multiplicity (the scorers' mult weighting) — and each synonym is
+    appended once, after its first source occurrence, unless it is
+    already a query term itself; insertion order is deterministic,
+    preserving the float-sum order contract with the scorers."""
+    out, added = [], set()
+    originals = set(terms)
+    for t in terms:
+        out.append(t)
+        for s in synonyms.get(t, ()):
+            if s not in added and s not in originals:
+                added.add(s)
+                out.append(s)
+    return out

@@ -893,3 +893,57 @@ def test_collapse_by_domain_matches_bruteforce(built, index_df):
     assert collapse_by_domain(
         built.postings, built.dictionary, built.docs,
         "machine AND zzzymissing", built.n_docs, built.avgdl).count() == 0
+
+
+def test_synonym_expansion_equals_widened_query(built, index_df):
+    """Synonym expansion is exactly a widened OR query: expanding
+    'machine' with synonym 'learn' must rank bit-identically to the
+    plain two-term query, on both the WAND and exhaustive tiers."""
+    from ir_index_construction_spark.plans.query import bm25_topk_exhaustive
+    from ir_index_construction_spark.text.normalize import (
+        expand_synonyms, parse_query)
+
+    terms, is_bool = parse_query("machine")
+    expanded = expand_synonyms(terms, {"machin": ["learn"]})
+    want_terms, _ = parse_query("machine learning")
+    assert expanded == want_terms
+    got = wand_topk(index_df, built.dictionary, built.docs, "",
+                    built.n_docs, built.avgdl, k=10,
+                    pre_parsed=(expanded, is_bool)).orderBy("rank").collect()
+    want = wand_topk(index_df, built.dictionary, built.docs,
+                     "machine learning", built.n_docs, built.avgdl,
+                     k=10).orderBy("rank").collect()
+    assert [(r["doc_id"], r["score"]) for r in got] \
+        == [(r["doc_id"], r["score"]) for r in want]
+    ex = bm25_topk_exhaustive(built.postings, built.dictionary, built.docs,
+                              "", built.n_docs, built.avgdl, k=10,
+                              pre_parsed=(expanded, is_bool)) \
+        .orderBy("rank").collect()
+    assert [(r["doc_id"], r["score"]) for r in ex] \
+        == [(r["doc_id"], r["score"]) for r in want]
+
+
+def test_doc_filter_restricts_before_scoring(built, index_df, spark):
+    """Metadata-filtered search: with an allowed-docs frame, the result
+    equals the brute-force filter of a deep unfiltered run (top-k
+    backfills from allowed docs only), scores unchanged; an empty
+    filter yields an empty result."""
+    from ir_index_construction_spark.plans.query import bm25_topk_exhaustive
+
+    q = "machine learning"
+    deep = bm25_topk_exhaustive(built.postings, built.dictionary,
+                                built.docs, q, built.n_docs, built.avgdl,
+                                k=10_000).orderBy("rank").collect()
+    allowed = built.docs.filter(F.col("doc_id") % 2 == 0)
+    want = [(r["doc_id"], r["score"]) for r in deep
+            if r["doc_id"] % 2 == 0][:10]
+    got = bm25_topk_exhaustive(built.postings, built.dictionary,
+                               built.docs, q, built.n_docs, built.avgdl,
+                               k=10, doc_filter=allowed) \
+        .orderBy("rank").collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == want
+    assert all(r["doc_id"] % 2 == 0 for r in got)
+    empty = spark.createDataFrame([], "doc_id long")
+    assert bm25_topk_exhaustive(built.postings, built.dictionary,
+                                built.docs, q, built.n_docs, built.avgdl,
+                                k=10, doc_filter=empty).count() == 0

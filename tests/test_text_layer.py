@@ -203,3 +203,22 @@ def test_extract_empty_and_malformed():
     assert extract_text(b"") == ""
     assert extract_text(b"<p>unclosed") == "unclosed"
     assert extract_zones(b"<title></title><p></p>") == []
+
+
+def test_expand_synonyms_contract():
+    """OR-mode synonym expansion: originals pass through untouched
+    (repeated terms keep their multiplicity), each synonym appends once
+    after its first source, and a synonym that is already a query term
+    is skipped."""
+    from ir_index_construction_spark.text.normalize import expand_synonyms
+
+    syn = {"sort": ["order"], "fast": ["quick", "order"]}
+    assert expand_synonyms(["sort", "fast"], syn) \
+        == ["sort", "order", "fast", "quick"]
+    # repeated original keeps multiplicity; synonym appended once
+    assert expand_synonyms(["sort", "sort"], syn) \
+        == ["sort", "order", "sort"]
+    # synonym already a query term is not duplicated
+    assert expand_synonyms(["sort", "order"], syn) == ["sort", "order"]
+    assert expand_synonyms([], syn) == []
+    assert expand_synonyms(["x"], {}) == ["x"]

@@ -103,7 +103,7 @@ class QueryService:
 
     def run(self, query: str, k: int, mode: str, weighted: bool,
             zone: str | None = None, after: tuple | None = None,
-            collapse: bool = False):
+            collapse: bool = False, synonyms: dict | None = None):
         from ir_index_construction_spark.operators.topk import wand_topk
         from ir_index_construction_spark.plans.query import (
             bm25_topk_exhaustive, collapse_by_domain, fuzzy_topk,
@@ -193,9 +193,15 @@ class QueryService:
         # doc set is data-sized, so it stays a distributed anti-join
         # (see bm25_topk_exhaustive's negated docstring)
         from ir_index_construction_spark.text.normalize import (
-            parse_query_with_negation)
+            expand_synonyms, parse_query_with_negation)
 
         terms, is_bool, neg = parse_query_with_negation(query)
+        # --synonyms: OR-mode expansion in the indexed vocabulary (each
+        # member scores with its own idf); originals keep multiplicity
+        pre = None
+        if synonyms:
+            terms = expand_synonyms(terms, synonyms)
+            pre = (terms, is_bool)
         if neg:
             return bm25_topk_exhaustive(
                 f["postings"], f["dictionary"], f["docs"], query,
@@ -206,12 +212,13 @@ class QueryService:
             return wand_topk(f["index"], f["dictionary"], f["docs"],
                              query, f["n_docs"], f["avgdl"], k=k,
                              weighted=weighted, idf_cache=idf_cache,
+                             pre_parsed=pre,
                              exclude_ids=f["exclude_ids"],
                              bound_scale=f["bound_scale"], after=after)
         return bm25_topk_exhaustive(f["postings"], f["dictionary"],
                                     f["docs"], query, f["n_docs"],
                                     f["avgdl"], k=k, weighted=weighted,
-                                    idf_cache=idf_cache,
+                                    idf_cache=idf_cache, pre_parsed=pre,
                                     exclude_ids=f["exclude_ids"],
                                     after=after)
 
@@ -283,6 +290,10 @@ def main():
                     help="fielded search: only matches whose zone "
                          "importance reaches this tag's weight qualify "
                          "(in:title etc.); runs on the exhaustive plan")
+    ap.add_argument("--synonyms", default=None, metavar="FILE",
+                    help="JSON {term: [synonym, ...]} in the indexed "
+                         "vocabulary; query terms expand OR-mode, each "
+                         "member scoring with its own idf")
     ap.add_argument("--collapse", action="store_true",
                     help="field collapsing: one best result per url "
                          "host (runs on the exhaustive plan)")
@@ -380,10 +391,16 @@ def main():
         cs, _, cd = args.after.partition(":")
         after = (float(cs), int(cd))
 
+    synonyms = None
+    if args.synonyms is not None:
+        import json
+        synonyms = {k: list(v) for k, v in
+                    json.loads(Path(args.synonyms).read_text()).items()}
+
     if args.query is not None:
         out = service.run(args.query, args.k, args.mode, args.weighted,
                           zone=args.zone, after=after,
-                          collapse=args.collapse)
+                          collapse=args.collapse, synonyms=synonyms)
         rows = out.orderBy(
             F.col(order_col).desc() if order_col == "pmi"
             else F.col(order_col).asc()).collect()
@@ -404,7 +421,7 @@ def main():
         t0 = time.time()
         rows = service.run(query, args.k, args.mode, args.weighted,
                            zone=args.zone, after=after,
-                           collapse=args.collapse) \
+                           collapse=args.collapse, synonyms=synonyms) \
             .orderBy(F.col(order_col).desc() if order_col == "pmi"
                      else F.col(order_col).asc()).collect()
         elapsed_ms = (time.time() - t0) * 1000.0
