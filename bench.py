@@ -218,9 +218,17 @@ def main():
     # ~8% steal and bursty co-tenant load (see BENCH/BASELINE.md); the
     # minimum over reps is the least-interfered measurement.  Each rep
     # records its co-tenant interference, same probe as the query phase.
+    # ADAPTIVE extension: a steal burst can cover ALL the fixed reps (a
+    # measured 3-rep window saw 2.8-7.2 steal cores on every rep and
+    # read 31.8 s for a build that is 7.6 s quiet) — so if even the
+    # best rep ran under >= 1 recorded co-tenant core, keep re-running
+    # (bounded by SPARK_GRAFT_BUILD_MAX_REPS) until a quiet rep lands;
+    # the trace shows exactly which reps were noisy and why more ran.
     reps = int(os.environ.get("SPARK_GRAFT_BUILD_REPS", "3"))
+    max_reps = int(os.environ.get("SPARK_GRAFT_BUILD_MAX_REPS", "6"))
     build_trace, built, index, best = [], None, None, None
-    for i in range(reps):
+    best_noise, i = None, 0
+    while True:
         if i:
             index.unpersist(blocking=True)
             built.dictionary.unpersist(blocking=True)
@@ -231,12 +239,16 @@ def main():
         dt = time.time() - t0
         ours = proc_tree_cpu_sec() - cpu0
         ext = max(0.0, (host_busy_sec() - busy0) - ours) / dt
+        steal = (host_steal_sec() - steal0) / dt
         build_trace.append({"wall_sec": round(dt, 2),
                             "external_busy_cores": round(ext, 2),
-                            "steal_cores": round(
-                                (host_steal_sec() - steal0) / dt, 2),
+                            "steal_cores": round(steal, 2),
                             "jvm_gc_ms": jvm_gc_ms(spark) - gc0})
-        best = dt if best is None else min(best, dt)
+        if best is None or dt < best:
+            best, best_noise = dt, ext + steal
+        i += 1
+        if i >= reps and (best_noise < 1.0 or i >= max_reps):
+            break
     timings["index_build"] = round(best, 4)
     extras["build_rep_trace"] = build_trace
     extras["n_docs_indexed"] = built.n_docs
@@ -300,9 +312,11 @@ def main():
     # the per-pass trace is committed in BENCH_r{N}.json.
     import math as _math
     query_passes = int(os.environ.get("SPARK_GRAFT_QUERY_PASSES", "2"))
+    max_passes = int(os.environ.get("SPARK_GRAFT_QUERY_MAX_PASSES", "4"))
     pass_trace = []
     best = {"wand_p50": None, "wand_p95": None, "exhaustive_p50": None}
-    for _ in range(query_passes):
+    n_pass, best_pass_noise = 0, None
+    while True:
         busy0, cpu0, t0 = host_busy_sec(), proc_tree_cpu_sec(), time.time()
         steal0, gc0 = host_steal_sec(), jvm_gc_ms(spark)
         lat_wand, lat_ex = [], []
@@ -343,6 +357,17 @@ def main():
                            "lat_exhaustive": [round(x, 3) for x in lat_ex]})
         for m, v in stats.items():
             best[m] = v if best[m] is None else min(best[m], v)
+        noise = pass_trace[-1]["external_busy_cores"] \
+            + pass_trace[-1]["steal_cores"]
+        if best_pass_noise is None or noise < best_pass_noise:
+            best_pass_noise = noise
+        n_pass += 1
+        # same adaptive rule as the build reps: if every pass so far ran
+        # under >= 1 recorded co-tenant core, add passes (bounded) so a
+        # steal burst cannot be the only measurement
+        if n_pass >= query_passes and (best_pass_noise < 1.0
+                                       or n_pass >= max_passes):
+            break
     timings.update(best)
     extras["query_pass_trace"] = pass_trace
 
