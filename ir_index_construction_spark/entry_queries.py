@@ -3294,6 +3294,126 @@ FROM scores ORDER BY rank LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# mixed phrase+term search (q65): the Lucene query-language shape
+# '"query scan" merge' — the quoted span scores as a phrase virtual
+# term (tf = adjacency-start count, df = matching docs), the loose term
+# as plain BM25, and the per-doc score is the sum of clause addends
+# (two addends, so the union-agg is commutative-exact across engines).
+# Engine tier: plans/query.mixed_topk over the positional catalog,
+# pytest-pinned to its single-clause plans; the CLI routes any
+# partially-quoted query here.
+# ---------------------------------------------------------------------------
+
+MIXED_PHRASE, MIXED_TERM = ("query", "scan"), "merge"
+
+
+def q_mixed_search(spark, sf_dir):
+    import math as _math
+
+    from .operators.phrase import phrase_match, token_positions
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pos = token_positions(docs)
+    dl = pos.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    n_docs = docs.count()
+    avgdl = pos.count() / n_docs
+    # phrase clause: virtual-term BM25 over adjacency starts
+    matched = phrase_match(pos, list(MIXED_PHRASE))
+    df_p = matched.count()
+    idf_p = _math.log((n_docs - df_p + 0.5) / (df_p + 0.5) + 1.0)
+    wp = (F.col("ptf") * F.lit(K1 + 1.0)) / (
+        F.col("ptf") + F.lit(K1) * (F.lit(1.0 - B)
+                                    + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+    )
+    phrase_part = (matched.join(dl, "doc_id")
+                   .select("doc_id", (F.lit(idf_p) * wp).alias("score")))
+    # loose-term clause: plain BM25
+    postings = pos.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dictionary = postings.groupBy("term").agg(F.count("*").alias("df"))
+    tdf = (dictionary.filter(F.col("term") == MIXED_TERM)
+           .withColumn("idf", F.log(
+               (F.lit(float(n_docs)) - F.col("df") + 0.5)
+               / (F.col("df") + 0.5) + 1.0)))
+    wt = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+    )
+    term_part = (
+        postings.join(F.broadcast(tdf.select("term", "idf")), "term")
+        .join(dl, "doc_id")
+        .select("doc_id", (F.col("idf") * wt).alias("score"))
+    )
+    total = (term_part.unionByName(phrase_part)
+             .groupBy("doc_id")
+             .agg(F.round(F.sum("score"), 6).alias("score")))
+    topk = total.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(win).cast("long"))
+        .select("rank", "doc_id", "score")
+    )
+
+
+SQL_MIXED_SEARCH = f"""
+WITH {SQL_POS},
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM pos2 GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM pos2)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+m AS (
+    SELECT p0.doc_id, p0.pos
+    FROM pos2 p0
+    JOIN pos2 p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+    WHERE p0.term = '{MIXED_PHRASE[0]}' AND p1.term = '{MIXED_PHRASE[1]}'
+),
+occ AS (SELECT doc_id, count(*)::BIGINT AS ptf FROM m GROUP BY 1),
+pconst AS (
+    SELECT c.n_docs, c.avgdl, (SELECT count(*) FROM occ)::DOUBLE AS df_p
+    FROM consts c
+),
+phrase_part AS (
+    SELECT o.doc_id,
+           ln((pc.n_docs - pc.df_p + 0.5) / (pc.df_p + 0.5) + 1.0)
+               * ((o.ptf * {K1 + 1.0}) /
+                  (o.ptf + {K1} * ({1.0 - B} + {B} * (d.dl / pc.avgdl))))
+               AS score
+    FROM occ o JOIN dl d USING (doc_id) CROSS JOIN pconst pc
+),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM pos2 GROUP BY 1, 2),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q AS (
+    SELECT d.term, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+    FROM dict d, consts c
+    WHERE d.term = '{MIXED_TERM}'
+),
+term_part AS (
+    SELECT p.doc_id,
+           q.idf * ((p.tf * {K1 + 1.0}) /
+                 (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))))
+               AS score
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+),
+total AS (
+    SELECT doc_id, round(sum(score), 6) AS score
+    FROM (SELECT * FROM term_part UNION ALL SELECT * FROM phrase_part)
+    GROUP BY 1
+),
+page AS (
+    SELECT doc_id, score FROM total
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, score
+FROM page ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3363,6 +3483,7 @@ def queries() -> dict:
         "q62_autocomplete": q_autocomplete,
         "q63_synonym_search": q_synonym_search,
         "q64_filtered_search": q_filtered_search,
+        "q65_mixed_search": q_mixed_search,
     }
 
 
@@ -3433,4 +3554,5 @@ def oracle_sql() -> dict:
         "q62_autocomplete": SQL_AUTOCOMPLETE,
         "q63_synonym_search": _sql_synonym_search(),
         "q64_filtered_search": SQL_FILTERED_SEARCH,
+        "q65_mixed_search": SQL_MIXED_SEARCH,
     }

@@ -792,3 +792,87 @@ def collapse_by_domain(postings: DataFrame, dictionary: DataFrame,
         ).cast("int"))
         .select("rank", "doc_id", "url", "score")
     )
+
+
+def mixed_topk(positions: DataFrame, postings: DataFrame,
+               dictionary: DataFrame, docs: DataFrame, query: str,
+               n_docs: int, avgdl: float, k: int = 10,
+               bm25: BM25Config = BM25Config(),
+               idf_cache: dict | None = None,
+               df_cache: dict | None = None,
+               exclude_ids=None) -> DataFrame:
+    """Mixed phrase+term query — the Lucene query-language shape
+    ``"machine learning" tutorial``: every clause is an OR addend, the
+    quoted spans scoring as phrase virtual terms (tf = start count,
+    df = matching-doc count, exactly phrase_topk_indexed's scoring) and
+    the loose terms as plain BM25 (exactly bm25_topk_exhaustive's
+    scoring core).  A doc matching ANY clause is a candidate; per-doc
+    score = sum of clause contributions.  Returns TOPK (rank, doc_id,
+    url, score).
+
+    Plan: one term-pruned postings agg for the loose terms + one pruned
+    positions agg per phrase (both the shapes their single-clause plans
+    use), unioned, then ONE (doc_id) sum and TakeOrderedAndProject.
+    The phrase side needs df_p driver-side for its idf — one count()
+    job per uncached phrase (``df_cache``: the snapshot-bound cache
+    phrase_topk_indexed uses, so a service pays it once per phrase
+    lifetime).  Tombstones (exclude_ids) mask BOTH clause kinds before
+    any aggregation, so backfill is correct."""
+    from ..operators.phrase import phrase_match
+    from ..text.normalize import parse_mixed_query
+
+    spark = postings.sparkSession
+    phrases, terms = parse_mixed_query(query)
+    if n_docs == 0 or avgdl == 0 or (not phrases and not terms):
+        return empty_topk(spark)
+
+    k1, b = bm25.k1, bm25.b
+    parts = []
+    if terms:
+        scores = _scored_candidates(postings, dictionary, "", n_docs,
+                                    avgdl, bm25, False, (terms, False),
+                                    idf_cache, exclude_ids)
+        if scores is not None:
+            parts.append(scores.select("doc_id", "score"))
+
+    if phrases and exclude_ids:
+        dead = spark.createDataFrame(
+            [(int(i),) for i in sorted(exclude_ids)], "doc_id long")
+        positions = positions.join(F.broadcast(dead), "doc_id", "left_anti")
+    for p_terms in phrases:
+        matched = phrase_match(positions, list(p_terms),
+                               pos_col="positions", plural=True)
+        key = tuple(p_terms)
+        if df_cache is not None and key in df_cache:
+            df_p = df_cache[key]
+        else:
+            df_p = matched.count()
+            if df_cache is not None:
+                df_cache[key] = df_p
+        if df_p == 0:
+            continue
+        idf = math.log((n_docs - df_p + 0.5) / (df_p + 0.5) + 1.0)
+        w = (F.col("ptf") * F.lit(k1 + 1.0)) / (
+            F.col("ptf")
+            + F.lit(k1) * (F.lit(1.0 - b)
+                           + F.lit(b) * (F.col("doc_len") / F.lit(avgdl)))
+        )
+        parts.append(
+            matched.join(docs.select("doc_id", "doc_len"), "doc_id")
+            .select("doc_id", (F.lit(idf) * w).alias("score")))
+
+    if not parts:
+        return empty_topk(spark)
+    allc = parts[0]
+    for extra in parts[1:]:
+        allc = allc.unionByName(extra)
+    total = allc.groupBy("doc_id").agg(F.sum("score").alias("score"))
+    topk = total.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    return (
+        docs.join(F.broadcast(topk), "doc_id", "inner")
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        ).cast("int"))
+        .select("rank", "doc_id", "url", "score")
+    )

@@ -211,3 +211,28 @@ def expand_synonyms(terms: list, synonyms: dict) -> list:
                 added.add(s)
                 out.append(s)
     return out
+
+
+def parse_mixed_query(query: str):
+    """Beyond-reference query surface: a query mixing "quoted phrases"
+    and loose terms (`"machine learning" tutorial`) — the Lucene query
+    language's phrase clause.  Returns (phrases, terms): each quoted
+    span parses through the SAME parse_query chain (normalize + stem),
+    so a phrase matches exactly when its words would match as terms and
+    additionally sit adjacent; the remainder parses as loose OR terms.
+    Quotes must be balanced; an unbalanced trailing quote opens a span
+    to end-of-string (browser search-box behavior).  Mixed queries are
+    OR-mode across clauses: each clause (phrase or term) contributes
+    its own BM25 addend (plans/query.mixed_topk)."""
+    spans, rest = [], []
+    parts = query.split('"')
+    # even indices = outside quotes, odd = inside
+    for i, part in enumerate(parts):
+        (spans if i % 2 else rest).append(part)
+    phrases = []
+    for s in spans:
+        terms, _ = parse_query(s)
+        if terms:
+            phrases.append(terms)
+    terms, _ = parse_query(" ".join(rest))
+    return phrases, terms

@@ -465,3 +465,71 @@ def test_snippet_windows_accepts_doc_id_frame(spark):
         snippet_windows(pos, id_frame, ["a", "c"], width=3).collect())
     assert by_list == by_frame and len(by_list) == 3
     assert {r["doc_id"] for r in by_list} == {0, 1, 2}
+
+
+def test_mixed_topk_sums_phrase_and_term_clauses(spark, pos_build):
+    """Mixed query language ('"machine learning" software'): per-doc
+    score == phrase-virtual-term addend + loose-term addend, each
+    bit-identical to its single-clause plan (two addends sum
+    commutatively, so the union-agg matches the manual sum exactly);
+    the degenerate forms collapse to their single-clause plans."""
+    from ir_index_construction_spark.plans.query import (
+        bm25_topk_exhaustive, mixed_topk, phrase_topk_indexed)
+
+    positions = pos_build.read(spark, "positions")
+    postings = pos_build.read(spark, "postings")
+    dictionary = pos_build.read(spark, "dictionary")
+    docs = pos_build.read(spark, "docs")
+    stats = pos_build.read(spark, "stats").collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+
+    phrase_scores = {
+        r["doc_id"]: r["score"]
+        for r in phrase_topk_indexed(positions, docs, '"machine learning"',
+                                     n_docs, avgdl, k=10_000).collect()}
+    term_scores = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk_exhaustive(postings, dictionary, docs,
+                                      "software", n_docs, avgdl,
+                                      k=10_000).collect()}
+    want_all: dict = {}
+    for d, s in phrase_scores.items():
+        want_all[d] = want_all.get(d, 0.0) + s
+    for d, s in term_scores.items():
+        want_all[d] = want_all.get(d, 0.0) + s
+    want = sorted(want_all.items(), key=lambda x: (-x[1], x[0]))[:10]
+
+    got = mixed_topk(positions, postings, dictionary, docs,
+                     '"machine learning" software', n_docs, avgdl,
+                     k=10).orderBy("rank").collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == want
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+    # degenerate: no quotes == the exhaustive plan
+    plain = bm25_topk_exhaustive(postings, dictionary, docs,
+                                 "machine learning", n_docs, avgdl,
+                                 k=10).orderBy("rank").collect()
+    got2 = mixed_topk(positions, postings, dictionary, docs,
+                      "machine learning", n_docs, avgdl,
+                      k=10).orderBy("rank").collect()
+    assert [(r["doc_id"], r["score"]) for r in got2] \
+        == [(r["doc_id"], r["score"]) for r in plain]
+
+    # degenerate: only a quoted phrase == the phrase plan's scores
+    got3 = mixed_topk(positions, postings, dictionary, docs,
+                      '"machine learning"', n_docs, avgdl,
+                      k=10).orderBy("rank").collect()
+    want3 = phrase_topk_indexed(positions, docs, '"machine learning"',
+                                n_docs, avgdl, k=10).orderBy("rank").collect()
+    assert [(r["doc_id"], r["score"]) for r in got3] \
+        == [(r["doc_id"], r["score"]) for r in want3]
+
+    # a phrase that never matches leaves only the term clause
+    got4 = mixed_topk(positions, postings, dictionary, docs,
+                      '"zzzymissing learning" software', n_docs, avgdl,
+                      k=10).orderBy("rank").collect()
+    want4 = bm25_topk_exhaustive(postings, dictionary, docs, "software",
+                                 n_docs, avgdl, k=10) \
+        .orderBy("rank").collect()
+    assert [(r["doc_id"], r["score"]) for r in got4] \
+        == [(r["doc_id"], r["score"]) for r in want4]

@@ -14,7 +14,9 @@ Spark job (operators/topk.py wand_topk_batch) and prints per-query
 blocks — the shape for scoring a mined query set against the corpus.
 
 Query surfaces (each also selected by syntax where noted): exact
-phrase ("double quoted"), prefix wildcard (trailing *), fuzzy
+phrase ("double quoted"), mixed phrase+term ('"a b" c' — a partially
+quoted query; every clause an OR-mode BM25 addend), prefix wildcard
+(trailing *), fuzzy
 (trailing ~), NOT-terms (-term), zone restriction (--zone title =
 in:title), more-like-this (--mode mlt, query is a doc_id), related
 terms (--mode related, PMI partners), search-after deep pagination
@@ -135,7 +137,8 @@ class QueryService:
         # a fully-quoted query is an exact-phrase search (requires a
         # positional build — BuildConfig.positions); tombstones apply
         # exactly as in the other modes
-        quoted = len(query) >= 2 and query[0] == query[-1] == '"'
+        quoted = len(query) >= 2 and query[0] == query[-1] == '"' \
+            and '"' not in query[1:-1]
         if mode == "phrase" or quoted:
             if "positions" not in self._f:
                 raise SystemExit(
@@ -146,6 +149,21 @@ class QueryService:
                 f["n_docs"], f["avgdl"], k=k,
                 exclude_ids=f["exclude_ids"],
                 df_cache=self._psc.for_snapshot(self._catalog_id))
+        # a PARTIALLY quoted query is the mixed query language:
+        # '"machine learning" tutorial' — phrase clauses + loose terms,
+        # every clause an OR-mode BM25 addend (plans/query.mixed_topk)
+        if '"' in query and mode in ("wand", "exhaustive"):
+            if "positions" not in self._f:
+                raise SystemExit(
+                    "mixed phrase+term queries need a positional index: "
+                    "rebuild the catalog with BuildConfig(positions=True)")
+            from ir_index_construction_spark.plans.query import mixed_topk
+
+            return mixed_topk(
+                f["positions"], f["postings"], f["dictionary"], f["docs"],
+                query, f["n_docs"], f["avgdl"], k=k, idf_cache=idf_cache,
+                df_cache=self._psc.for_snapshot(self._catalog_id),
+                exclude_ids=f["exclude_ids"])
         # a single trailing-* token is a prefix (wildcard) query: the
         # prefix expands against the (stemmed) dictionary and runs as
         # OR-mode WAND — same tombstone/segment handling as plain WAND
