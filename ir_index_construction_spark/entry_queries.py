@@ -3414,6 +3414,292 @@ FROM page ORDER BY rank
 
 
 # ---------------------------------------------------------------------------
+# boosted search (q66): Lucene 'term^w' clause weights — the boost
+# multiplies that term's idf and nothing else, so engine tier (WAND +
+# exhaustive, plans/query + operators/topk boosts=) and this SQL twin
+# share one definition.  'batch^3 merge' ranks batch-heavy docs first.
+# ---------------------------------------------------------------------------
+
+BOOST_TERMS = {"batch": 3.0, "merge": 1.0}
+
+
+def q_boosted_search(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs)
+    n_docs = docs.count()
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = toks.count() / n_docs
+    dictionary = postings.groupBy("term").agg(F.count("*").alias("df"))
+    terms = spark.createDataFrame(
+        [(t, w) for t, w in sorted(BOOST_TERMS.items())],
+        "term string, boost double")
+    tdf = dictionary.join(F.broadcast(terms), "term").withColumn(
+        "idf", F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                     / (F.col("df") + 0.5) + 1.0) * F.col("boost"))
+    matches = (
+        postings.join(F.broadcast(tdf.select("term", "idf")), "term")
+        .join(dl, "doc_id")
+    )
+    w = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+    )
+    scores = matches.groupBy("doc_id").agg(
+        F.round(F.sum(F.col("idf") * w), 6).alias("score"))
+    topk = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(win).cast("long"))
+        .select("rank", "doc_id", "score")
+    )
+
+
+def _sql_boost_case() -> str:
+    arms = " ".join(f"WHEN '{t}' THEN {w}"
+                    for t, w in sorted(BOOST_TERMS.items()))
+    return f"CASE d.term {arms} ELSE 1.0 END"
+
+
+SQL_BOOSTED_SEARCH = f"""
+WITH {SQL_TOKS},
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks2 GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM toks2)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q AS (
+    SELECT d.term,
+           ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * ({_sql_boost_case()}) AS idf
+    FROM dict d, consts c
+    WHERE d.term IN {tuple(sorted(BOOST_TERMS))!r}
+),
+scores AS (
+    SELECT p.doc_id,
+           round(sum(q.idf * ((p.tf * {K1 + 1.0}) /
+                 (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))))), 6)
+               AS score
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+    GROUP BY p.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, score
+FROM scores ORDER BY rank LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# minimum_should_match (q67): OR-mode search keeping only docs matching
+# >= m distinct query terms (Elasticsearch minimum_should_match; the
+# middle ground between OR recall and AND precision).  Engine tier:
+# bm25_topk_exhaustive(min_match=) filters the _nt column the scoring
+# agg already computes.
+# ---------------------------------------------------------------------------
+
+MSM_TERMS, MSM_MIN = ("batch", "merge", "scan"), 2
+
+
+def q_min_match(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs)
+    n_docs = docs.count()
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = toks.count() / n_docs
+    dictionary = postings.groupBy("term").agg(F.count("*").alias("df"))
+    terms = spark.createDataFrame([(t,) for t in MSM_TERMS], "term string")
+    tdf = dictionary.join(F.broadcast(terms), "term").withColumn(
+        "idf", F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                     / (F.col("df") + 0.5) + 1.0))
+    matches = (
+        postings.join(F.broadcast(tdf.select("term", "idf")), "term")
+        .join(dl, "doc_id")
+    )
+    w = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+    )
+    scores = (
+        matches.groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("idf") * w), 6).alias("score"),
+             F.count("*").alias("_nt"))
+        .filter(F.col("_nt") >= MSM_MIN)
+        .select("doc_id", "score", F.col("_nt").cast("long").alias("n_terms"))
+    )
+    topk = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(win).cast("long"))
+        .select("rank", "doc_id", "score", "n_terms")
+    )
+
+
+SQL_MIN_MATCH = f"""
+WITH {SQL_TOKS},
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks2 GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM toks2)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q AS (
+    SELECT d.term, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+    FROM dict d, consts c
+    WHERE d.term IN {tuple(MSM_TERMS)!r}
+),
+scores AS (
+    SELECT p.doc_id,
+           round(sum(q.idf * ((p.tf * {K1 + 1.0}) /
+                 (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))))), 6)
+               AS score,
+           count(*)::BIGINT AS n_terms
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+    GROUP BY p.doc_id
+    HAVING count(*) >= {MSM_MIN}
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, score, n_terms
+FROM scores ORDER BY rank LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# hybrid BM25 + vector search via RRF (q68): the two retrieval legs
+# (lexical BM25 top-50, embedding-cosine top-50, joined on the
+# doc_id == vec_id ingest contract) fuse by reciprocal-rank sum
+# 1/(60+rank) — plans/hybrid.rrf_fuse IS the fused scorer under test;
+# DuckDB re-derives both legs, both rank lists, and the fusion.  Each
+# leg ranks on its ROUND(,6) score so near-ties resolve identically in
+# both engines (doc_id tie-break), and the RRF sum has exactly two
+# rank-derived addends, so it is commutative-exact.
+# ---------------------------------------------------------------------------
+
+HYBRID_TERMS, HYBRID_DEPTH = ("batch", "merge"), 50
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    from .operators.similarity import with_cosine
+    from .plans.hybrid import rrf_fuse, with_rank
+
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs)
+    n_docs = docs.count()
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = toks.count() / n_docs
+    dictionary = postings.groupBy("term").agg(F.count("*").alias("df"))
+    terms = spark.createDataFrame([(t,) for t in HYBRID_TERMS], "term string")
+    tdf = dictionary.join(F.broadcast(terms), "term").withColumn(
+        "idf", F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                     / (F.col("df") + 0.5) + 1.0))
+    w = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+    )
+    lex = (
+        postings.join(F.broadcast(tdf.select("term", "idf")), "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("idf") * w), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(HYBRID_DEPTH)
+    )
+    emb = _embs(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    vec = (
+        with_cosine(emb.filter(F.col("vec_id") != 0), "embedding",
+                    [float(x) for x in qvec])
+        .select(F.col("vec_id").alias("doc_id"),
+                F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+        .limit(HYBRID_DEPTH)
+    )
+    fused = rrf_fuse(
+        [with_rank(lex, "score", depth=HYBRID_DEPTH),
+         with_rank(vec, "cosine", depth=HYBRID_DEPTH)],
+        k=10)
+    # rank on the EXACT fused sum; round only the emitted column
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(win).cast("long"))
+        .select("rank", "doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+SQL_HYBRID_RRF = f"""
+WITH {SQL_TOKS},
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks2 GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM toks2)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q AS (
+    SELECT d.term, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+    FROM dict d, consts c
+    WHERE d.term IN {tuple(HYBRID_TERMS)!r}
+),
+lex AS (
+    SELECT p.doc_id,
+           round(sum(q.idf * ((p.tf * {K1 + 1.0}) /
+                 (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))))), 6)
+               AS score
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+    GROUP BY p.doc_id
+),
+lexr AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM lex QUALIFY rank <= {HYBRID_DEPTH}
+),
+qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+vec AS (
+    SELECT e.vec_id AS doc_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+               AS cosine
+    FROM embeddings e, qv q
+    WHERE e.vec_id <> 0
+),
+vecr AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank
+    FROM vec QUALIFY rank <= {HYBRID_DEPTH}
+),
+fused AS (
+    SELECT doc_id, sum(1.0 / (60.0 + rank)) AS s
+    FROM (SELECT * FROM lexr UNION ALL SELECT * FROM vecr)
+    GROUP BY doc_id
+),
+page AS (
+    -- order/limit on the EXACT sum (like the engine's rrf_fuse);
+    -- round only for the emitted column
+    SELECT doc_id, round(s, 6) AS score, s FROM fused
+    ORDER BY s DESC, doc_id ASC LIMIT 10
+)
+SELECT row_number() OVER (ORDER BY s DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, score
+FROM page ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3484,6 +3770,9 @@ def queries() -> dict:
         "q63_synonym_search": q_synonym_search,
         "q64_filtered_search": q_filtered_search,
         "q65_mixed_search": q_mixed_search,
+        "q66_boosted_search": q_boosted_search,
+        "q67_min_match": q_min_match,
+        "q68_hybrid_rrf": q_hybrid_rrf,
     }
 
 
@@ -3555,4 +3844,7 @@ def oracle_sql() -> dict:
         "q63_synonym_search": _sql_synonym_search(),
         "q64_filtered_search": SQL_FILTERED_SEARCH,
         "q65_mixed_search": SQL_MIXED_SEARCH,
+        "q66_boosted_search": SQL_BOOSTED_SEARCH,
+        "q67_min_match": SQL_MIN_MATCH,
+        "q68_hybrid_rrf": SQL_HYBRID_RRF,
     }

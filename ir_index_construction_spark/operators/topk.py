@@ -288,7 +288,8 @@ def wand_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
               pre_parsed: tuple | None = None,
               idf_cache: dict | None = None,
               exclude_ids=None, bound_scale=None,
-              after: tuple | None = None) -> DataFrame:
+              after: tuple | None = None,
+              boosts: dict | None = None) -> DataFrame:
     """TOPK (rank, doc_id, url, score) via the compressed index.
 
     Plan: term-filtered scan of the index (parquet row-group pruning on
@@ -316,7 +317,13 @@ def wand_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
     after=(score, doc_id): search-after pagination cursor — the last
     row of the previous page; returns the NEXT k results (rank restarts
     at 1 for the page).  See make_shard_scorer for the pruning
-    contract."""
+    contract.
+
+    boosts: optional {stemmed term: weight} (text/normalize.
+    parse_boosted_query, the Lucene ``term^2.5`` clause weight) —
+    multiplies that term's idf in the scorer metadata.  WAND pruning
+    stays exact because the block-max bound and the true contribution
+    are BOTH (mult*idf)*tf_norm: scaling idf scales them together."""
     spark = index.sparkSession
     terms, is_bool = pre_parsed if pre_parsed is not None else parse_query(query)
     if not terms or n_docs == 0 or avgdl == 0:
@@ -329,7 +336,11 @@ def wand_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
         return empty_topk(spark)          # absent AND-term (searcher.py:153-155)
     if not ordered:
         return empty_topk(spark)
-    term_meta = {t: (counts[t], tf_idf[t][1]) for t in ordered}
+    term_meta = {
+        t: (counts[t],
+            tf_idf[t][1] * (boosts.get(t, 1.0) if boosts else 1.0))
+        for t in ordered
+    }
 
     rows = index.filter(F.col("term").isin(ordered))
     scorer = make_shard_scorer(term_meta, ordered, k, is_bool, avgdl, bm25,

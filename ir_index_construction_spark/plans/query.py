@@ -583,7 +583,9 @@ def _scored_candidates(postings: DataFrame, dictionary: DataFrame,
                        idf_cache: dict | None = None,
                        exclude_ids=None,
                        min_imp: int | None = None,
-                       doc_filter: DataFrame | None = None) -> DataFrame | None:
+                       doc_filter: DataFrame | None = None,
+                       boosts: dict | None = None,
+                       min_match: int | None = None) -> DataFrame | None:
     """The shared scoring core of the exhaustive query plans: parse ->
     idf lookup -> term-pruned postings scan -> broadcast term join ->
     one (doc_id) hash agg.  Returns a (doc_id, score, _nt) frame, or
@@ -597,7 +599,18 @@ def _scored_candidates(postings: DataFrame, dictionary: DataFrame,
     Matches LEFT-SEMI join against it BEFORE the agg, so only allowed
     docs are ever scored and top-k backfills correctly.  The filter is
     data-sized in general, so this is a shuffle semi-join; a caller
-    holding a provably small set should pass F.broadcast(frame)."""
+    holding a provably small set should pass F.broadcast(frame).
+
+    boosts: optional {stemmed term: weight} (Lucene ``term^2.5``) —
+    multiplies that term's idf, same contract as wand_topk(boosts=).
+
+    min_match: Elasticsearch ``minimum_should_match`` — in OR mode keep
+    only docs matching at least this many DISTINCT query terms (the
+    ``_nt`` column the agg already computes); boolean mode ignores it
+    (AND is already the all-terms case).  Applied AFTER the agg: which
+    docs qualify depends on their full term-match set, so it cannot
+    prune the scan — but it shrinks everything downstream (top-k heap,
+    back-join)."""
     spark = postings.sparkSession
     terms, is_bool = pre_parsed if pre_parsed is not None else parse_query(query)
     if not terms or n_docs == 0 or avgdl == 0:
@@ -612,7 +625,9 @@ def _scored_candidates(postings: DataFrame, dictionary: DataFrame,
         return None
 
     terms_df = spark.createDataFrame(
-        [(t, counts[t], tf_idf[t][1]) for t in present],
+        [(t, counts[t],
+          tf_idf[t][1] * (boosts.get(t, 1.0) if boosts else 1.0))
+         for t in present],
         "term string, mult int, idf double",
     )
 
@@ -649,6 +664,8 @@ def _scored_candidates(postings: DataFrame, dictionary: DataFrame,
     )
     if is_bool:
         scores = scores.filter(F.col("_nt") == len(present))
+    elif min_match is not None and min_match > 1:
+        scores = scores.filter(F.col("_nt") >= min_match)
     return scores
 
 
@@ -669,6 +686,8 @@ def bm25_topk_exhaustive(
     min_imp: int | None = None,
     after: tuple | None = None,
     doc_filter: DataFrame | None = None,
+    boosts: dict | None = None,
+    min_match: int | None = None,
 ) -> DataFrame:
     """Returns TOPK (rank, doc_id, url, score).
 
@@ -711,11 +730,18 @@ def bm25_topk_exhaustive(
 
     doc_filter: optional allowed-docs frame (doc_id column) — metadata/
     ACL filtered search, semi-joined before scoring (see
-    _scored_candidates)."""
+    _scored_candidates).
+
+    boosts / min_match: per-term Lucene clause weights and
+    Elasticsearch minimum_should_match — see _scored_candidates.
+    min_match routes through this exhaustive plan by design: WAND's
+    upper bound assumes every remaining term may contribute, which is
+    no longer a tight pruning bound when only >=m-term docs qualify
+    (a correct-but-loose bound would score everything anyway)."""
     scores = _scored_candidates(postings, dictionary, query, n_docs,
                                 avgdl, bm25, weighted, pre_parsed,
                                 idf_cache, exclude_ids, min_imp,
-                                doc_filter)
+                                doc_filter, boosts, min_match)
     spark = postings.sparkSession
     if scores is None:
         return empty_topk(spark)

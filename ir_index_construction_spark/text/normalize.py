@@ -190,6 +190,51 @@ def parse_query_with_negation(query: str):
     return terms, is_bool, neg_terms
 
 
+def parse_boosted_query(query: str):
+    """Beyond-reference query surface: per-term boosts, the Lucene
+    query-language ``term^2.5`` clause weight.  Returns (terms, is_bool,
+    boosts) where ``boosts`` maps STEMMED terms to their float weight —
+    the same key space the scorers' term metadata uses, so a boost
+    multiplies that term's idf and nothing else (score contribution AND
+    the WAND block-max bound scale together, keeping pruning exact).
+
+    The ``^w`` suffix must be split off BEFORE query_normalize — it
+    turns ``^`` into a space, so ``scan^2`` would otherwise tokenize as
+    the two terms ``scan 2``.  A suffix that does not parse as a float
+    is NOT a boost (``x^y`` stays a literal token, matching Lucene's
+    lenient parser).  When two raw words stem to the same term with
+    different boosts, the last one wins (one weight per scored term —
+    the scorers weigh terms, not clause occurrences).  Word order,
+    multiplicity, and boolean-mode detection are untouched: the
+    boost-stripped words rejoin the original sequence and go through
+    the reference parse/stem path (parse_query stays the compatibility
+    contract)."""
+    raw = query.split()
+    words, raw_boosts = [], []          # raw_boosts[i] aligns with words[i]
+    for w in raw:
+        base, sep, suffix = w.rpartition("^")
+        bval = None
+        if sep and base:
+            try:
+                bval = float(suffix)
+            except ValueError:
+                base = w
+        else:
+            base = w
+        words.append(base)
+        raw_boosts.append(bval)
+    terms, is_bool = parse_query(" ".join(words))
+    boosts: dict = {}
+    for w, bval in zip(words, raw_boosts):
+        if bval is None:
+            continue
+        stemmed, _ = parse_query(w)
+        for t in stemmed:
+            if not (is_bool and t == "and"):
+                boosts[t] = bval
+    return terms, is_bool, boosts
+
+
 def expand_synonyms(terms: list, synonyms: dict) -> list:
     """Beyond-reference query surface: OR-mode synonym expansion — each
     query term is followed by its synonym-map entries (Elasticsearch's

@@ -947,3 +947,206 @@ def test_doc_filter_restricts_before_scoring(built, index_df, spark):
     assert bm25_topk_exhaustive(built.postings, built.dictionary,
                                 built.docs, q, built.n_docs, built.avgdl,
                                 k=10, doc_filter=empty).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# term boosts (Lucene 'term^w'), minimum_should_match, hybrid RRF
+# ---------------------------------------------------------------------------
+
+
+def test_parse_boosted_query():
+    from ir_index_construction_spark.text.normalize import parse_boosted_query
+
+    # basic: boost attaches to the STEMMED term; terms unchanged
+    terms, is_bool, boosts = parse_boosted_query("machine learning^2.5")
+    assert (terms, is_bool) == (["machin", "learn"], False)
+    assert boosts == {"learn": 2.5}
+    # non-float suffix is not a boost (lenient Lucene parser)
+    terms, _, boosts = parse_boosted_query("x^y machine")
+    assert boosts == {} and "machin" in terms
+    # boolean mode survives boost stripping; 'and' never gets a boost
+    terms, is_bool, boosts = parse_boosted_query("machine^3 AND learning")
+    assert is_bool and boosts == {"machin": 3.0}
+    # two surface forms stemming to one term: last boost wins
+    _, _, boosts = parse_boosted_query("learning^2 learn^4")
+    assert boosts == {"learn": 4.0}
+    # bare '^w' word and trailing '^' degrade to plain tokens
+    terms, _, boosts = parse_boosted_query("^2 machine^")
+    assert boosts == {}
+
+
+def test_boosted_wand_matches_exhaustive_and_differs(built, index_df):
+    """wand_topk(boosts=) and bm25_topk_exhaustive(boosts=) agree on the
+    boosted ranking (same top-k set, scores to 1e-9 — the q24 contract),
+    and the boost actually moves the ranking vs unboosted for the
+    fixture query (guard against boosts being dead weight)."""
+    from ir_index_construction_spark.plans.query import bm25_topk_exhaustive
+    from ir_index_construction_spark.text.normalize import parse_boosted_query
+
+    raw = "machine learning^5"
+    terms, is_bool, boosts = parse_boosted_query(raw)
+    a = wand_topk(index_df, built.dictionary, built.docs, "",
+                  built.n_docs, built.avgdl, k=10,
+                  pre_parsed=(terms, is_bool), boosts=boosts) \
+        .orderBy("rank").collect()
+    b = bm25_topk_exhaustive(built.postings, built.dictionary, built.docs,
+                             "", built.n_docs, built.avgdl, k=10,
+                             pre_parsed=(terms, is_bool), boosts=boosts) \
+        .orderBy("rank").collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    for ra, rb in zip(a, b):
+        assert math.isclose(ra["score"], rb["score"],
+                            rel_tol=1e-9, abs_tol=1e-12)
+    plain = wand_topk(index_df, built.dictionary, built.docs,
+                      "machine learning", built.n_docs, built.avgdl,
+                      k=10).orderBy("rank").collect()
+    assert [r["doc_id"] for r in a] != [r["doc_id"] for r in plain], \
+        "a 5x boost on 'learning' must reorder the fixture top-10"
+
+
+def test_boost_of_one_is_identity(built, index_df):
+    got = wand_topk(index_df, built.dictionary, built.docs,
+                    "machine learning", built.n_docs, built.avgdl, k=10,
+                    boosts={"machin": 1.0, "learn": 1.0}) \
+        .orderBy("rank").collect()
+    want = wand_topk(index_df, built.dictionary, built.docs,
+                     "machine learning", built.n_docs, built.avgdl,
+                     k=10).orderBy("rank").collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+        [(r["doc_id"], r["score"]) for r in want]
+
+
+def test_min_match_filters_and_backfills(built):
+    """min_match=2 on a 3-term OR query: results are exactly the >=2-term
+    docs of the unfiltered deep run, re-topped (backfill correct), and
+    every kept doc really matches >=2 distinct query terms."""
+    from ir_index_construction_spark.plans.query import bm25_topk_exhaustive
+    from ir_index_construction_spark.text.normalize import parse_query
+
+    q = "machine learning software"
+    terms, _ = parse_query(q)
+    deep = bm25_topk_exhaustive(built.postings, built.dictionary,
+                                built.docs, q, built.n_docs, built.avgdl,
+                                k=10_000).orderBy("rank").collect()
+    match_counts = {
+        r["doc_id"]: r["n"]
+        for r in built.postings.filter(F.col("term").isin(terms))
+        .groupBy("doc_id").agg(F.countDistinct("term").alias("n")).collect()
+    }
+    want = [(r["doc_id"], r["score"]) for r in deep
+            if match_counts[r["doc_id"]] >= 2][:10]
+    got = bm25_topk_exhaustive(built.postings, built.dictionary,
+                               built.docs, q, built.n_docs, built.avgdl,
+                               k=10, min_match=2).orderBy("rank").collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == want
+    assert all(match_counts[r["doc_id"]] >= 2 for r in got)
+    # min_match=1 is plain OR
+    or_run = bm25_topk_exhaustive(built.postings, built.dictionary,
+                                  built.docs, q, built.n_docs, built.avgdl,
+                                  k=10, min_match=1).orderBy("rank").collect()
+    assert [(r["doc_id"], r["score"]) for r in or_run] == \
+        [(r["doc_id"], r["score"]) for r in deep[:10]]
+
+
+def test_hybrid_rrf_matches_manual(built, index_df, spark):
+    """hybrid_topk == a driver-side recomputation: WAND ranks + numpy
+    cosine ranks fused by 1/(60+rank), tie-break (score desc, doc_id)."""
+    from ir_index_construction_spark.plans.hybrid import hybrid_topk
+
+    rng = np.random.default_rng(7)
+    ids = [r["doc_id"] for r in built.docs.select("doc_id").collect()]
+    vecs = {i: rng.standard_normal(16) for i in sorted(ids)}
+    qvec = rng.standard_normal(16)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in sorted(vecs.items())],
+        "doc_id long, embedding array<double>")
+
+    depth, query = 30, "machine learning"
+    got = hybrid_topk(index_df, built.dictionary, built.docs, emb,
+                      "doc_id", "embedding", query,
+                      [float(x) for x in qvec], built.n_docs, built.avgdl,
+                      k=10, depth=depth).orderBy("rank").collect()
+
+    lex = wand_topk(index_df, built.dictionary, built.docs, query,
+                    built.n_docs, built.avgdl, k=depth) \
+        .orderBy("rank").collect()
+    qn = float(np.sqrt(qvec @ qvec))
+    cos = sorted(
+        ((float(v @ qvec / (np.sqrt(v @ v) * qn)), i)
+         for i, v in vecs.items()),
+        key=lambda t: (-t[0], t[1]))[:depth]
+    fused: dict = {}
+    for r in lex:
+        fused[r["doc_id"]] = fused.get(r["doc_id"], 0.0) + 1.0 / (60 + r["rank"])
+    for rank, (_, i) in enumerate(cos, start=1):
+        fused[i] = fused.get(i, 0.0) + 1.0 / (60 + rank)
+    want = sorted(fused.items(), key=lambda t: (-t[1], t[0]))[:10]
+    assert [r["doc_id"] for r in got] == [i for i, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert math.isclose(r["score"], s, rel_tol=1e-9, abs_tol=1e-12)
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    # urls came through the back-join
+    assert all(r["url"] for r in got)
+
+
+def test_rrf_fuse_semantics(spark):
+    """Doc in both lists gets two addends; single-list docs one; ties
+    break by doc_id; k truncates."""
+    from ir_index_construction_spark.plans.hybrid import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank int")
+    rows = {r["doc_id"]: r["score"]
+            for r in rrf_fuse([a, b], k=10).collect()}
+    assert math.isclose(rows[2], 1 / 62 + 1 / 61)
+    assert math.isclose(rows[1], 1 / 61)
+    assert math.isclose(rows[3], 1 / 62)
+    # 1 and 3... 1/61 > 1/62: order is 2, 1, 3; k=2 keeps [2, 1]
+    top2 = [r["doc_id"]
+            for r in rrf_fuse([a, b], k=2).orderBy(
+                F.desc("score"), F.asc("doc_id")).collect()]
+    assert top2 == [2, 1]
+
+
+def test_query_service_boost_and_min_match(spark, tmp_path):
+    """CLI-service routing for the round-4 surfaces: 'term^2' parses to
+    a doubled idf on the exhaustive plan, and min_match=2 keeps only
+    multi-term docs (and forces the exhaustive route even in wand
+    mode — no 'index' table exists in this catalog)."""
+    import importlib.util
+    from pathlib import Path
+
+    from ir_index_construction_spark.sources.catalog import Catalog
+
+    spec = importlib.util.spec_from_file_location(
+        "submit_query_mod2",
+        Path(__file__).resolve().parent.parent / "tools" / "submit_query.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    cat = Catalog(str(tmp_path / "cat_boost"))
+    txn = cat.transaction()
+    txn.write(spark.createDataFrame(
+        [("foo", 1, 1, 10, 2), ("bar", 1, 1, 10, 2), ("foo", 2, 1, 10, 1)],
+        "term string, doc_id long, tf int, imp int, dl int"), "postings")
+    txn.write(spark.createDataFrame(
+        [(1, "u1", 2), (2, "u2", 1)],
+        "doc_id long, url string, doc_len int"), "docs")
+    txn.write(spark.createDataFrame(
+        [("foo", 2, 2), ("bar", 1, 1)],
+        "term string, df long, cf long"), "dictionary")
+    txn.write(spark.createDataFrame(
+        [(2, 1.5, 2)], "n_docs long, avgdl double, n_terms long"), "stats")
+    txn.commit()
+
+    svc = m.QueryService(spark, cat)
+    plain = {r["doc_id"]: r["score"]
+             for r in svc.run("foo", 10, "exhaustive", False).collect()}
+    boosted = {r["doc_id"]: r["score"]
+               for r in svc.run("foo^2", 10, "exhaustive", False).collect()}
+    assert set(plain) == set(boosted) == {1, 2}
+    for d in plain:
+        assert math.isclose(boosted[d], 2.0 * plain[d], rel_tol=1e-12)
+
+    got = svc.run("foo bar", 10, "wand", False, min_match=2).collect()
+    assert [r["doc_id"] for r in got] == [1]

@@ -17,7 +17,10 @@ Query surfaces (each also selected by syntax where noted): exact
 phrase ("double quoted"), mixed phrase+term ('"a b" c' — a partially
 quoted query; every clause an OR-mode BM25 addend), prefix wildcard
 (trailing *), fuzzy
-(trailing ~), NOT-terms (-term), zone restriction (--zone title =
+(trailing ~), NOT-terms (-term), per-term boosts (term^2.5 — Lucene
+clause weights, wand + exhaustive), minimum_should_match (--min-match
+M: OR-mode queries keep only docs matching >= M distinct terms; runs
+on the exhaustive plan), zone restriction (--zone title =
 in:title), more-like-this (--mode mlt, query is a doc_id), related
 terms (--mode related, PMI partners), search-after deep pagination
 (--after SCORE:DOC_ID, the last row of the previous page), a per-term
@@ -105,7 +108,8 @@ class QueryService:
 
     def run(self, query: str, k: int, mode: str, weighted: bool,
             zone: str | None = None, after: tuple | None = None,
-            collapse: bool = False, synonyms: dict | None = None):
+            collapse: bool = False, synonyms: dict | None = None,
+            min_match: int | None = None):
         from ir_index_construction_spark.operators.topk import wand_topk
         from ir_index_construction_spark.plans.query import (
             bm25_topk_exhaustive, collapse_by_domain, fuzzy_topk,
@@ -214,9 +218,23 @@ class QueryService:
             expand_synonyms, parse_query_with_negation)
 
         terms, is_bool, neg = parse_query_with_negation(query)
+        # 'term^2.5' boosts (Lucene clause weights): strip the suffixes
+        # off the non-negated words, keep the stemmed-term weight map —
+        # it must happen at parse time, before query_normalize turns
+        # '^' into a space
+        boosts = None
+        pre = None
+        if "^" in query:
+            from ir_index_construction_spark.text.normalize import (
+                parse_boosted_query)
+
+            pos_raw = " ".join(w for w in query.split()
+                               if not (w.startswith("-") and len(w) > 1))
+            terms, is_bool, boosts = parse_boosted_query(pos_raw)
+            boosts = boosts or None
+            pre = (terms, is_bool)
         # --synonyms: OR-mode expansion in the indexed vocabulary (each
         # member scores with its own idf); originals keep multiplicity
-        pre = None
         if synonyms:
             terms = expand_synonyms(terms, synonyms)
             pre = (terms, is_bool)
@@ -225,12 +243,16 @@ class QueryService:
                 f["postings"], f["dictionary"], f["docs"], query,
                 f["n_docs"], f["avgdl"], k=k, weighted=weighted,
                 pre_parsed=(terms, is_bool), idf_cache=idf_cache,
-                exclude_ids=f["exclude_ids"], negated=neg)
-        if mode == "wand":
+                exclude_ids=f["exclude_ids"], negated=neg,
+                boosts=boosts, min_match=min_match)
+        # --min-match routes to the exhaustive plan: which docs qualify
+        # depends on their full term-match set, which WAND's pruning
+        # bound does not model (see bm25_topk_exhaustive docstring)
+        if mode == "wand" and min_match is None:
             return wand_topk(f["index"], f["dictionary"], f["docs"],
                              query, f["n_docs"], f["avgdl"], k=k,
                              weighted=weighted, idf_cache=idf_cache,
-                             pre_parsed=pre,
+                             pre_parsed=pre, boosts=boosts,
                              exclude_ids=f["exclude_ids"],
                              bound_scale=f["bound_scale"], after=after)
         return bm25_topk_exhaustive(f["postings"], f["dictionary"],
@@ -238,7 +260,8 @@ class QueryService:
                                     f["avgdl"], k=k, weighted=weighted,
                                     idf_cache=idf_cache, pre_parsed=pre,
                                     exclude_ids=f["exclude_ids"],
-                                    after=after)
+                                    after=after, boosts=boosts,
+                                    min_match=min_match)
 
     def explain(self, query: str, doc_id: int, weighted: bool = False):
         """Per-term BM25 breakdown for one (query, doc) pair — the
@@ -312,6 +335,11 @@ def main():
                     help="JSON {term: [synonym, ...]} in the indexed "
                          "vocabulary; query terms expand OR-mode, each "
                          "member scoring with its own idf")
+    ap.add_argument("--min-match", default=None, type=int, metavar="M",
+                    dest="min_match",
+                    help="minimum_should_match: OR-mode queries keep only "
+                         "docs matching at least M distinct query terms "
+                         "(runs on the exhaustive plan)")
     ap.add_argument("--collapse", action="store_true",
                     help="field collapsing: one best result per url "
                          "host (runs on the exhaustive plan)")
@@ -418,7 +446,8 @@ def main():
     if args.query is not None:
         out = service.run(args.query, args.k, args.mode, args.weighted,
                           zone=args.zone, after=after,
-                          collapse=args.collapse, synonyms=synonyms)
+                          collapse=args.collapse, synonyms=synonyms,
+                          min_match=args.min_match)
         rows = out.orderBy(
             F.col(order_col).desc() if order_col == "pmi"
             else F.col(order_col).asc()).collect()
@@ -439,7 +468,8 @@ def main():
         t0 = time.time()
         rows = service.run(query, args.k, args.mode, args.weighted,
                            zone=args.zone, after=after,
-                           collapse=args.collapse, synonyms=synonyms) \
+                           collapse=args.collapse, synonyms=synonyms,
+                           min_match=args.min_match) \
             .orderBy(F.col(order_col).desc() if order_col == "pmi"
                      else F.col(order_col).asc()).collect()
         elapsed_ms = (time.time() - t0) * 1000.0
