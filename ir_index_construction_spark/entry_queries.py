@@ -3700,6 +3700,149 @@ FROM page ORDER BY rank
 
 
 # ---------------------------------------------------------------------------
+# significant terms (q69): Elasticsearch's significant_terms aggregation
+# with the JLH heuristic — terms overrepresented in a FOREGROUND doc set
+# (here the lang='es' metadata slice) relative to the whole corpus.
+# operators/cooccur.significant_terms IS the operator under test; DuckDB
+# re-derives fg/bg rates and the (fg-bg)*(fg/bg) score.  df counting is
+# set-semantics (distinct (term, doc)), matching the dictionary.
+# ---------------------------------------------------------------------------
+
+SIG_FG_LANG, SIG_MIN_FG, SIG_TOP = "es", 2, 10
+
+
+def q_significant_terms(spark, sf_dir):
+    from .operators.cooccur import significant_terms
+
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs)
+    n_docs = docs.count()
+    p = toks.select("term", "doc_id").distinct()
+    dictionary = p.groupBy("term").agg(F.count("*").alias("df"))
+    fg_docs = docs.filter(F.col("lang") == SIG_FG_LANG).select("doc_id")
+    return significant_terms(p, dictionary, n_docs, fg_docs,
+                             min_fg=SIG_MIN_FG, top_n=SIG_TOP)
+
+
+SQL_SIGNIFICANT_TERMS = f"""
+WITH {SQL_TOKS},
+p AS (SELECT DISTINCT term, doc_id FROM toks2),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM documents
+            WHERE lang = '{SIG_FG_LANG}')::DOUBLE AS n_fg
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM p GROUP BY 1),
+fg AS (
+    SELECT p.term, count(*)::BIGINT AS n_fg_term
+    FROM p
+    JOIN documents d ON d.doc_id = p.doc_id AND d.lang = '{SIG_FG_LANG}'
+    GROUP BY 1
+    HAVING count(*) >= {SIG_MIN_FG}
+),
+scored AS (
+    SELECT fg.term, fg.n_fg_term, dict.df,
+           round(((fg.n_fg_term / c.n_fg) - (dict.df / c.n_docs))
+                 * ((fg.n_fg_term / c.n_fg) / (dict.df / c.n_docs)), 6)
+               AS jlh
+    FROM fg
+    JOIN dict ON dict.term = fg.term
+    CROSS JOIN consts c
+    WHERE (fg.n_fg_term / c.n_fg) > (dict.df / c.n_docs)
+)
+SELECT term, n_fg_term, df, jlh
+FROM scored
+ORDER BY jlh DESC, term ASC
+LIMIT {SIG_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# regex search (q70): Lucene RegexpQuery — the pattern anchors to the
+# WHOLE term, expands against the indexed vocabulary capped at the
+# df-heaviest REGEX_MAX_EXP terms (df DESC, term ASC), then scores the
+# expansion as OR-mode BM25 (the q50 prefix shape with regex-matched
+# expansion).  plans/query.regex_topk is the compressed-index engine
+# twin, whose literal-prefix pushdown prunes the dictionary scan.
+# ---------------------------------------------------------------------------
+
+REGEX_Q, REGEX_MAX_EXP = "s.*a.*", 3
+
+
+def q_regex_search(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs)
+    n_docs = docs.count()
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = toks.count() / n_docs
+    dictionary = postings.groupBy("term").agg(F.count("*").alias("df"))
+    expansion = (
+        dictionary.filter(F.col("term").rlike(f"^(?:{REGEX_Q})$"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(REGEX_MAX_EXP)
+        .withColumn("idf", F.log(
+            (F.lit(float(n_docs)) - F.col("df") + 0.5)
+            / (F.col("df") + 0.5) + 1.0))
+    )
+    matches = (
+        postings.join(F.broadcast(expansion.select("term", "idf")), "term")
+        .join(dl, "doc_id")
+    )
+    w = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+    )
+    scores = matches.groupBy("doc_id").agg(
+        F.round(F.sum(F.col("idf") * w), 6).alias("score"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+    topk = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(win).cast("long"))
+        .select("rank", "doc_id", "n_terms", "score")
+    )
+
+
+SQL_REGEX_SEARCH = f"""
+WITH {SQL_TOKS},
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks2 GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM toks2)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q AS (
+    SELECT d.term, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+    FROM dict d, consts c
+    WHERE regexp_full_match(d.term, '{REGEX_Q}')
+    ORDER BY d.df DESC, d.term ASC
+    LIMIT {REGEX_MAX_EXP}
+),
+scores AS (
+    SELECT p.doc_id,
+           round(sum(q.idf * ((p.tf * {K1 + 1.0}) /
+                 (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))))), 6)
+               AS score,
+           count(*)::BIGINT AS n_terms
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+    GROUP BY p.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, n_terms, score
+FROM scores
+ORDER BY rank
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3773,6 +3916,8 @@ def queries() -> dict:
         "q66_boosted_search": q_boosted_search,
         "q67_min_match": q_min_match,
         "q68_hybrid_rrf": q_hybrid_rrf,
+        "q69_significant_terms": q_significant_terms,
+        "q70_regex_search": q_regex_search,
     }
 
 
@@ -3847,4 +3992,6 @@ def oracle_sql() -> dict:
         "q66_boosted_search": SQL_BOOSTED_SEARCH,
         "q67_min_match": SQL_MIN_MATCH,
         "q68_hybrid_rrf": SQL_HYBRID_RRF,
+        "q69_significant_terms": SQL_SIGNIFICANT_TERMS,
+        "q70_regex_search": SQL_REGEX_SEARCH,
     }

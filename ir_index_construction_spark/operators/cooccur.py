@@ -71,6 +71,58 @@ def term_cooccurrence(postings: DataFrame, dictionary: DataFrame,
     )
 
 
+def significant_terms(postings: DataFrame, dictionary: DataFrame,
+                      n_docs: int, fg_docs: DataFrame,
+                      n_fg: int | None = None, min_fg: int = 2,
+                      top_n: int = 10) -> DataFrame:
+    """Elasticsearch's significant_terms aggregation with the JLH
+    heuristic: terms overrepresented in a FOREGROUND doc set (a query's
+    result page, a metadata slice, a near-dup cluster) relative to the
+    whole corpus.
+
+        fg_pct = n_fg_term / n_fg        bg_pct = df / n_docs
+        jlh    = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+
+    keeping only fg_pct > bg_pct (overrepresented) and n_fg_term >=
+    ``min_fg`` (the classic rare-term noise floor).  Returns (term,
+    n_fg_term, df, jlh), jlh DESC / term ASC, capped at ``top_n``.
+
+    Scale shape: the foreground set is page/slice-sized by contract, so
+    it BROADCASTS into the postings scan (a broadcast semi-ish inner
+    join — no shuffle of postings); per-term foreground counts are one
+    map-side-combined hash agg over (fg docs x terms/doc) rows; the
+    background df arrives by joining the (broadcast, tiny) fg term
+    counts INTO the dictionary, pruning the dictionary scan to the
+    foreground vocabulary.  ``n_fg`` saves the count job when the
+    caller already knows the slice size."""
+    spark = postings.sparkSession
+    if n_fg is None:
+        n_fg = fg_docs.count()
+    if n_fg == 0:
+        return spark.createDataFrame(
+            [], "term string, n_fg_term long, df long, jlh double")
+    fg_counts = (
+        postings.select("term", "doc_id")
+        .join(F.broadcast(fg_docs.select("doc_id")), "doc_id")
+        .groupBy("term").agg(F.count("*").cast("long").alias("n_fg_term"))
+        .filter(F.col("n_fg_term") >= min_fg)
+    )
+    d = dictionary.groupBy("term").agg(F.sum("df").alias("df"))
+    joined = d.join(F.broadcast(fg_counts), "term")
+    fg_pct = F.col("n_fg_term") / F.lit(float(n_fg))
+    bg_pct = F.col("df") / F.lit(float(n_docs))
+    scored = (
+        joined.filter(fg_pct > bg_pct)
+        .withColumn("jlh", F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6))
+    )
+    return (
+        scored.select("term", "n_fg_term", F.col("df").cast("long").alias("df"),
+                      "jlh")
+        .orderBy(F.col("jlh").desc(), F.col("term").asc())
+        .limit(top_n)
+    )
+
+
 def related_terms(postings: DataFrame, dictionary: DataFrame,
                   n_docs: int, term: str, min_df: int = 2,
                   max_df: int | None = None, min_pairs: int = 2,

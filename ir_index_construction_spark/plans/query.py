@@ -306,6 +306,84 @@ def prefix_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
                      exclude_ids=exclude_ids, bound_scale=bound_scale)
 
 
+_REGEX_META = set(".*+?[](){}|\\^$")
+
+
+def regex_literal_prefix(pattern: str) -> str:
+    """The longest literal prefix of a regex (chars before the first
+    metacharacter, leading '^' dropped) — the pushdown handle: a
+    StartsWith on it prunes the term-sorted dictionary scan before the
+    JVM regex runs, so '^eng.*' style patterns never scan the whole
+    vocabulary.  A char FOLLOWED by a quantifier must not be part of
+    the literal prefix ('ab*' matches 'a'), hence the one-char
+    lookahead."""
+    p = pattern[1:] if pattern.startswith("^") else pattern
+    out = []
+    for i, ch in enumerate(p):
+        if ch in _REGEX_META:
+            break
+        if i + 1 < len(p) and p[i + 1] in "*+?{":
+            break
+        out.append(ch)
+    return "".join(out)
+
+
+def expand_regex(dictionary: DataFrame, pattern: str,
+                 max_expansions: int = 50,
+                 cache: dict | None = None) -> list:
+    """Dictionary regex scan -> the df-heaviest matching terms (Lucene
+    RegexpQuery semantics: the pattern must match the WHOLE term, so it
+    is wrapped as ^(?:...)$ — same as Lucene's implicit anchoring).
+    Pushdown: the pattern's literal prefix becomes a StartsWith that
+    prunes the term-sorted dictionary scan; the regex itself runs
+    JVM-side (rlike, codegen) only on the surviving row groups.  Cap
+    and cache contracts are identical to expand_prefix (df DESC, term
+    ASC; snapshot-bound)."""
+    if not pattern:
+        return []
+    key = ("regex", pattern, max_expansions)
+    if cache is not None and key in cache:
+        return cache[key]
+    scan = dictionary
+    lit = regex_literal_prefix(pattern)
+    if lit:
+        scan = scan.filter(F.col("term").startswith(lit))
+    rows = (
+        scan.filter(F.col("term").rlike(f"^(?:{pattern})$"))
+        .groupBy("term").agg(F.sum("df").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(max_expansions).collect()
+    )
+    terms = [r["term"] for r in rows]
+    if cache is not None:
+        cache[key] = terms
+    return terms
+
+
+def regex_topk(index: DataFrame, dictionary: DataFrame, docs: DataFrame,
+               pattern: str, n_docs: int, avgdl: float, k: int = 10,
+               bm25: BM25Config = BM25Config(), weighted: bool = False,
+               max_expansions: int = 50, idf_cache: dict | None = None,
+               exclude_ids=None, bound_scale=None,
+               expansion_cache: dict | None = None) -> DataFrame:
+    """Regex top-k over the compressed index (Lucene RegexpQuery /
+    Kibana's /pattern/ box): expand the pattern against the indexed
+    vocabulary, then run the expansion as OR-mode WAND — the exact
+    prefix_topk shape, with the regex-with-literal-prefix-pushdown
+    expansion instead of a pure StartsWith."""
+    from ..operators.topk import wand_topk
+
+    terms = expand_regex(dictionary, pattern.lower(), max_expansions,
+                         cache=expansion_cache)
+    spark = index.sparkSession
+    if not terms:
+        return empty_topk(spark)
+    return wand_topk(index, dictionary, docs, "", n_docs, avgdl, k=k,
+                     bm25=bm25, weighted=weighted,
+                     pre_parsed=(terms, False), idf_cache=idf_cache,
+                     exclude_ids=exclude_ids, bound_scale=bound_scale)
+
+
 def expand_fuzzy(dictionary: DataFrame, term: str, max_edits: int = 1,
                  prefix_len: int = 1, max_expansions: int = 50,
                  cache: dict | None = None) -> list:

@@ -1150,3 +1150,68 @@ def test_query_service_boost_and_min_match(spark, tmp_path):
 
     got = svc.run("foo bar", 10, "wand", False, min_match=2).collect()
     assert [r["doc_id"] for r in got] == [1]
+
+
+def test_regex_literal_prefix_cases():
+    """The pushdown handle: longest literal prefix, leading ^ dropped,
+    char-before-quantifier excluded ('ab*' matches 'a')."""
+    from ir_index_construction_spark.plans.query import regex_literal_prefix
+
+    assert regex_literal_prefix("eng.*") == "eng"
+    assert regex_literal_prefix("^eng.*") == "eng"
+    assert regex_literal_prefix("machin") == "machin"
+    assert regex_literal_prefix(".*ing") == ""
+    assert regex_literal_prefix("ab*c") == "a"      # b is quantified
+    assert regex_literal_prefix("ab+") == "a"
+    assert regex_literal_prefix("ab?") == "a"
+    assert regex_literal_prefix("ab{2}") == "a"
+    assert regex_literal_prefix("a[bc]d") == "a"
+    assert regex_literal_prefix("") == ""
+
+
+def test_regex_expansion_matches_pure_python(built):
+    """expand_regex = whole-term regex match over the dictionary, capped
+    deterministically (df DESC, term ASC) — recomputed with re.fullmatch.
+    The literal-prefix pushdown must not change results."""
+    import re
+
+    from ir_index_construction_spark.plans.query import expand_regex
+
+    dfs = {r["term"]: r["df"] for r in built.dictionary.collect()}
+    for pattern, cap in (
+            ("ma.*", 50),        # literal prefix 'ma' prunes the scan
+            ("ma.*", 2),         # cap binds
+            (".*ing", 50),       # no literal prefix -> full vocab scan
+            ("s.*war.*", 50),    # prefix + inner wildcard ('softwar')
+            ("zzz.*qqq", 50)):   # no match
+        want = [t for t in dfs if re.fullmatch(pattern, t)]
+        want.sort(key=lambda t: (-dfs[t], t))
+        want = want[:cap]
+        got = expand_regex(built.dictionary, pattern, max_expansions=cap)
+        assert got == want, pattern
+    assert "machin" in expand_regex(built.dictionary, "ma.*")
+    assert expand_regex(built.dictionary, "") == []
+    # snapshot-bound cache round trip
+    cache = {}
+    a = expand_regex(built.dictionary, "ma.*", 50, cache=cache)
+    assert ("regex", "ma.*", 50) in cache
+    assert expand_regex(built.dictionary, "ma.*", 50, cache=cache) == a
+
+
+def test_regex_topk_matches_expanded_or_query(built, index_df):
+    """regex_topk IS expansion + OR-mode WAND: bit-identical to wand_topk
+    over the same pre-parsed expansion, empty when nothing matches."""
+    from ir_index_construction_spark.plans.query import expand_regex, regex_topk
+
+    terms = expand_regex(built.dictionary, "ma.*")
+    assert terms
+    got = regex_topk(index_df, built.dictionary, built.docs, "ma.*",
+                     built.n_docs, built.avgdl, k=10).orderBy("rank").collect()
+    want = wand_topk(index_df, built.dictionary, built.docs, "",
+                     built.n_docs, built.avgdl, k=10,
+                     pre_parsed=(terms, False)).orderBy("rank").collect()
+    assert [(r["rank"], r["doc_id"], r["url"], r["score"]) for r in got] == \
+           [(r["rank"], r["doc_id"], r["url"], r["score"]) for r in want]
+    assert got
+    assert regex_topk(index_df, built.dictionary, built.docs, "zzz.*qqq",
+                      built.n_docs, built.avgdl, k=10).count() == 0

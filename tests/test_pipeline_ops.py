@@ -1198,3 +1198,50 @@ def test_streaming_replayed_batch_is_noop(spark, tmp_path):
                          spark.createDataFrame(rows[30:], DOCUMENTS), 1)
     assert cat.read(spark, "docs").count() > n1
     assert cat.read(spark, "stream_commits").count() == 2
+
+
+def test_significant_terms_matches_pure_python(built):
+    """significant_terms = JLH over a foreground doc slice, recomputed
+    here from collected postings: fg_pct>bg_pct filter, min_fg floor,
+    deterministic (jlh DESC, term ASC) cap — and empty fg -> empty."""
+    from ir_index_construction_spark.operators.cooccur import significant_terms
+
+    min_fg, top_n = 2, 10
+    n = built.n_docs
+    fg_ids = {r["doc_id"] for r in built.docs.collect()
+              if r["doc_id"] % 5 == 0}
+    fg_docs = built.docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    dfs = {r["term"]: r["df"] for r in built.dictionary.collect()}
+    fg_counts = {}
+    for r in built.postings.select("term", "doc_id").distinct().collect():
+        if r["doc_id"] in fg_ids:
+            fg_counts[r["term"]] = fg_counts.get(r["term"], 0) + 1
+    n_fg = len(fg_ids)
+    want = []
+    for t, c in fg_counts.items():
+        if c < min_fg:
+            continue
+        fg_pct, bg_pct = c / float(n_fg), dfs[t] / float(n)
+        if fg_pct > bg_pct:
+            want.append((t, c, dfs[t],
+                         round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6)))
+    want.sort(key=lambda r: (-r[3], r[0]))
+    want = want[:top_n]
+    got = [(r["term"], r["n_fg_term"], r["df"], r["jlh"])
+           for r in significant_terms(built.postings, built.dictionary, n,
+                                      fg_docs, min_fg=min_fg,
+                                      top_n=top_n).collect()]
+    assert got == want
+    assert got, "foreground slice produced no significant terms"
+    # explicit n_fg short-circuits the count job, same answer
+    got2 = [(r["term"], r["n_fg_term"], r["df"], r["jlh"])
+            for r in significant_terms(built.postings, built.dictionary, n,
+                                       fg_docs, n_fg=n_fg, min_fg=min_fg,
+                                       top_n=top_n).collect()]
+    assert got2 == got
+    # empty foreground -> empty frame with the contract schema
+    empty = significant_terms(
+        built.postings, built.dictionary, n,
+        built.docs.filter(F.col("doc_id") < 0).select("doc_id"))
+    assert empty.count() == 0
+    assert empty.columns == ["term", "n_fg_term", "df", "jlh"]
