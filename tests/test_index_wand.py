@@ -1215,3 +1215,58 @@ def test_regex_topk_matches_expanded_or_query(built, index_df):
     assert got
     assert regex_topk(index_df, built.dictionary, built.docs, "zzz.*qqq",
                       built.n_docs, built.avgdl, k=10).count() == 0
+
+
+def test_query_service_regex_and_significant(spark, tmp_path, built, index_df):
+    """CLI routing: a /slash-wrapped/ query routes to regex_topk
+    (bit-identical to the direct call), and --mode significant returns
+    the JLH significant terms of the query's top-100 result page."""
+    import importlib.util
+    from pathlib import Path
+
+    from ir_index_construction_spark.operators.cooccur import significant_terms
+    from ir_index_construction_spark.plans.query import regex_topk
+    from ir_index_construction_spark.sources.catalog import Catalog
+
+    spec = importlib.util.spec_from_file_location(
+        "submit_query_regex",
+        Path(__file__).resolve().parent.parent / "tools" / "submit_query.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    cat = Catalog(str(tmp_path / "cat_regex"))
+    txn = cat.transaction()
+    txn.write(built.postings, "postings")
+    txn.write(built.docs, "docs")
+    txn.write(built.dictionary, "dictionary")
+    txn.write(index_df, "index")
+    txn.write(spark.createDataFrame(
+        [(built.n_docs, built.avgdl, 1)],
+        "n_docs long, avgdl double, n_terms long"), "stats")
+    txn.commit()
+
+    svc = m.QueryService(spark, cat)
+    got = svc.run("/ma.*/", 10, "wand", False).orderBy("rank").collect()
+    want = regex_topk(index_df, built.dictionary, built.docs, "ma.*",
+                      built.n_docs, built.avgdl, k=10) \
+        .orderBy("rank").collect()
+    assert [(r["rank"], r["doc_id"], r["url"], r["score"]) for r in got] == \
+           [(r["rank"], r["doc_id"], r["url"], r["score"]) for r in want]
+    assert got
+
+    page = wand_topk(index_df, built.dictionary, built.docs,
+                     "machine learning", built.n_docs, built.avgdl,
+                     k=100).select("doc_id").collect()
+    ids = [r["doc_id"] for r in page]
+    fg = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    want_sig = [(r["term"], r["n_fg_term"], r["df"], r["jlh"])
+                for r in significant_terms(
+                    built.postings, built.dictionary, built.n_docs, fg,
+                    n_fg=len(ids), top_n=10).collect()]
+    got_sig = [(r["term"], r["n_fg_term"], r["df"], r["jlh"])
+               for r in svc.run("machine learning", 10,
+                                "significant", False).collect()]
+    assert got_sig == want_sig
+    assert got_sig, "result-page foreground produced no significant terms"
+    # the query's own stems must surface as significant for their page
+    assert any(t in ("machin", "learn") for t, *_ in got_sig)

@@ -5,7 +5,8 @@ the ranked URLs and the elapsed milliseconds until an empty line quits).
 
     spark-submit --py-files dist/engine.zip tools/submit_query.py \
         --catalog /data/index_catalog [--query "machine learning"] [-k 10]
-        [--mode wand|exhaustive|phrase|prefix|fuzzy|mlt|related]
+        [--mode wand|exhaustive|phrase|prefix|fuzzy|regex|significant|
+                mlt|related]
         [--weighted] [--zone title] [--after SCORE:DOC_ID]
         [--batch queries.txt]
 
@@ -17,7 +18,11 @@ Query surfaces (each also selected by syntax where noted): exact
 phrase ("double quoted"), mixed phrase+term ('"a b" c' — a partially
 quoted query; every clause an OR-mode BM25 addend), prefix wildcard
 (trailing *), fuzzy
-(trailing ~), NOT-terms (-term), per-term boosts (term^2.5 — Lucene
+(trailing ~), whole-term regex (/slash-wrapped/ — Lucene RegexpQuery,
+dictionary expansion with literal-prefix pushdown), significant terms
+of a result page (--mode significant — Elasticsearch's
+significant_terms with the JLH heuristic over the query's top-100
+docs), NOT-terms (-term), per-term boosts (term^2.5 — Lucene
 clause weights, wand + exhaustive), minimum_should_match (--min-match
 M: OR-mode queries keep only docs matching >= M distinct terms; runs
 on the exhaustive plan), zone restriction (--zone title =
@@ -190,6 +195,42 @@ class QueryService:
                               bound_scale=f["bound_scale"],
                               expansion_cache=self._esc.for_snapshot(
                                   self._catalog_id))
+        # a /slash-wrapped/ query is a regex query (Lucene RegexpQuery,
+        # Kibana's /pattern/ box): the pattern expands against the
+        # (stemmed) dictionary — the literal-prefix pushdown prunes the
+        # term-sorted scan — and runs as OR-mode WAND
+        slashed = len(query) >= 2 and query[0] == query[-1] == "/" \
+            and " " not in query
+        if mode == "regex" or slashed:
+            from ir_index_construction_spark.plans.query import regex_topk
+
+            return regex_topk(f["index"], f["dictionary"], f["docs"],
+                              query.strip("/"), f["n_docs"], f["avgdl"],
+                              k=k, weighted=weighted, idf_cache=idf_cache,
+                              exclude_ids=f["exclude_ids"],
+                              bound_scale=f["bound_scale"],
+                              expansion_cache=self._esc.for_snapshot(
+                                  self._catalog_id))
+        # significant: the query runs as WAND top-100 and the result
+        # page becomes the FOREGROUND doc set; output is its significant
+        # terms (Elasticsearch significant_terms, JLH heuristic) —
+        # "what is this result set about".  The page's doc_ids are a
+        # <=100-row driver-side scalar list by construction.
+        if mode == "significant":
+            from ir_index_construction_spark.operators.cooccur import (
+                significant_terms)
+
+            page = wand_topk(f["index"], f["dictionary"], f["docs"],
+                             query, f["n_docs"], f["avgdl"], k=100,
+                             idf_cache=idf_cache,
+                             exclude_ids=f["exclude_ids"],
+                             bound_scale=f["bound_scale"])
+            ids = [r["doc_id"] for r in page.select("doc_id").collect()]
+            fg = self.spark.createDataFrame([(i,) for i in ids],
+                                            "doc_id long")
+            return significant_terms(f["postings"], f["dictionary"],
+                                     f["n_docs"], fg, n_fg=len(ids),
+                                     top_n=k)
         # related: the query is a term; list its top PMI co-occurrence
         # partners from the postings relation ("related searches")
         if mode == "related":
@@ -298,6 +339,11 @@ def print_results(rows):
     if not rows:
         print("  (no results)")
         return
+    if "jlh" in rows[0].__fields__:            # significant-terms schema
+        for r in rows:
+            print(f"  {r['term']:24} fg={r['n_fg_term']:<6} "
+                  f"df={r['df']:<6} jlh={r['jlh']:.4f}")
+        return
     if "url" not in rows[0].__fields__:        # related-terms schema
         for r in rows:
             print(f"  {r['term_b']:24} n_both={r['n_both']:<6} "
@@ -315,14 +361,19 @@ def main():
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--mode",
                     choices=["wand", "exhaustive", "phrase", "prefix",
-                             "fuzzy", "mlt", "related"],
+                             "fuzzy", "regex", "significant", "mlt",
+                             "related"],
                     default="wand",
                     help="phrase = exact-phrase top-k over the positional "
                          "index (a \"double-quoted\" query selects it "
                          "automatically); prefix = wildcard expansion "
                          "against the dictionary (a single trailing-* "
                          "token selects it automatically); fuzzy = "
-                         "Levenshtein<=1 expansion (trailing ~); mlt = "
+                         "Levenshtein<=1 expansion (trailing ~); regex = "
+                         "whole-term regex expansion (a /slash-wrapped/ "
+                         "query selects it automatically); significant = "
+                         "JLH significant terms of the query's top-100 "
+                         "result page; mlt = "
                          "more-like-this, --query is a seed doc_id")
     ap.add_argument("--weighted", action="store_true",
                     help="rank by BM25 x tag-importance (imp/10)")
