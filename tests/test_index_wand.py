@@ -1270,3 +1270,94 @@ def test_query_service_regex_and_significant(spark, tmp_path, built, index_df):
     assert got_sig, "result-page foreground produced no significant terms"
     # the query's own stems must surface as significant for their page
     assert any(t in ("machin", "learn") for t, *_ in got_sig)
+
+
+# ---------------------------------------------------------------------------
+# wildcard queries (plans/rank.py)
+# ---------------------------------------------------------------------------
+
+
+def test_glob_to_regex_cases():
+    from ir_index_construction_spark.plans.rank import glob_to_regex
+
+    assert glob_to_regex("te*m") == "te.*m"
+    assert glob_to_regex("wor?") == "wor."
+    assert glob_to_regex("a.b*") == "a\\.b.*"
+    assert glob_to_regex("plain") == "plain"
+    assert glob_to_regex("*x?y*") == ".*x.y.*"
+
+
+@pytest.mark.parametrize("pattern", [
+    "commoncrawl",        # no metacharacter: exact lookup
+    "mach*",              # trailing-only: prefix pushdown path
+    "*n",                 # leading-only: reversed/EndsWith path
+    "m?chin",             # single-char wildcard
+    "l*n",                # general: literal-prefix + rlike path
+    "*",                  # all-meta: rejected -> []
+    "zz*qq",              # no matches
+])
+def test_expand_wildcard_matches_pure_python(built, pattern):
+    import re
+
+    from ir_index_construction_spark.plans.rank import (
+        expand_wildcard, glob_to_regex, reversed_dictionary)
+
+    cap = 5
+    vocab = {r["term"]: int(r["df"]) for r in built.dictionary.collect()}
+    if pattern.strip("*?"):
+        rx = re.compile(f"^(?:{glob_to_regex(pattern)})$")
+        hits = sorted(((df, t) for t, df in vocab.items() if rx.match(t)),
+                      key=lambda x: (-x[0], x[1]))
+        want = [t for _, t in hits[:cap]]
+    else:
+        want = []
+
+    got = expand_wildcard(built.dictionary, pattern, max_expansions=cap)
+    assert got == want
+    # the reversed-dictionary scale path yields the identical expansion
+    rdict = reversed_dictionary(built.dictionary)
+    got_r = expand_wildcard(built.dictionary, pattern, max_expansions=cap,
+                            rdictionary=rdict)
+    assert got_r == want
+
+
+def test_expand_wildcard_nonempty_fixtures(built):
+    """The parametrized patterns must actually exercise non-trivial
+    expansions against this corpus (guards against vocabulary drift
+    silently turning the test vacuous)."""
+    from ir_index_construction_spark.plans.rank import expand_wildcard
+
+    for pattern in ("commoncrawl", "mach*", "*n", "l*n"):
+        assert expand_wildcard(built.dictionary, pattern,
+                               max_expansions=5), pattern
+
+
+def test_wildcard_topk_matches_expanded_or_query(built, index_df):
+    from ir_index_construction_spark.plans.rank import (
+        expand_wildcard, wildcard_topk)
+
+    pattern, cap = "*n", 5
+    terms = expand_wildcard(built.dictionary, pattern, max_expansions=cap)
+    assert terms
+    want = wand_topk(index_df, built.dictionary, built.docs, "",
+                     built.n_docs, built.avgdl, k=10,
+                     pre_parsed=(terms, False)).orderBy("rank").collect()
+    got = wildcard_topk(index_df, built.dictionary, built.docs, pattern,
+                        built.n_docs, built.avgdl, k=10,
+                        max_expansions=cap).orderBy("rank").collect()
+    assert [(r["rank"], r["doc_id"], r["url"], r["score"]) for r in got] == \
+           [(r["rank"], r["doc_id"], r["url"], r["score"]) for r in want]
+    assert got
+
+
+def test_wildcard_expansion_cache_skips_job(built):
+    from ir_index_construction_spark.plans.rank import expand_wildcard
+
+    cache: dict = {}
+    a = expand_wildcard(built.dictionary, "mach*", max_expansions=5,
+                        cache=cache)
+    assert ("wildcard", "mach*", 5) in cache
+    cache[("wildcard", "mach*", 5)] = ["sentinel"]
+    b = expand_wildcard(built.dictionary, "mach*", max_expansions=5,
+                        cache=cache)
+    assert b == ["sentinel"] and a != b   # second call served from cache
