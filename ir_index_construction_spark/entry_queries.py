@@ -3843,6 +3843,437 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# q71 wildcard search — leading-wildcard '*er' (the shape a prefix scan
+# can't serve): expansion = terms ENDING with the literal, capped to the
+# df-heaviest W_MAX_EXP (cap 2 deliberately trims the third match, so the
+# deterministic df DESC / term ASC contract is itself under test), then
+# the expansion scores as an OR-mode BM25 query — plans/rank.py
+# expand_wildcard/wildcard_topk semantics on the oracle-tier tables.
+# ---------------------------------------------------------------------------
+
+W_SUFFIX, W_MAX_EXP = "er", 2
+
+
+def q_wildcard_search(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs)
+    n_docs = docs.count()
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = toks.count() / n_docs
+    dictionary = postings.groupBy("term").agg(F.count("*").alias("df"))
+    expansion = (
+        dictionary.filter(F.col("term").endswith(W_SUFFIX))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(W_MAX_EXP)
+        .withColumn("idf", F.log(
+            (F.lit(float(n_docs)) - F.col("df") + 0.5)
+            / (F.col("df") + 0.5) + 1.0))
+    )
+    matches = (
+        postings.join(F.broadcast(expansion.select("term", "idf")), "term")
+        .join(dl, "doc_id")
+    )
+    w = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+    )
+    scores = matches.groupBy("doc_id").agg(
+        F.round(F.sum(F.col("idf") * w), 6).alias("score"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+    topk = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(win).cast("long"))
+        .select("rank", "doc_id", "n_terms", "score")
+    )
+
+
+SQL_WILDCARD_SEARCH = f"""
+WITH {SQL_TOKS},
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks2 GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM toks2)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q AS (
+    SELECT d.term, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+    FROM dict d, consts c
+    WHERE d.term LIKE '%{W_SUFFIX}'
+    ORDER BY d.df DESC, d.term ASC
+    LIMIT {W_MAX_EXP}
+),
+scores AS (
+    SELECT p.doc_id,
+           round(sum(q.idf * ((p.tf * {K1 + 1.0}) /
+                 (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))))), 6)
+               AS score,
+           count(*)::BIGINT AS n_terms
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+    GROUP BY p.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, n_terms, score
+FROM scores
+ORDER BY rank
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q72 LM-Dirichlet ranking — the plans/rank.lm_dirichlet_topk scorer
+# (Zhai & Lafferty query-likelihood, Lucene LMDirichletSimilarity) on the
+# oracle-tier tables: per matched (term, doc)
+#     ln(1 + tf/(mu*cf/T)) + ln(mu/(dl+mu)),
+# cf = collection frequency, T = total tokens.  Scores are raw
+# log-likelihood deltas and may be negative; both engines round(_, 6)
+# (JVM/DuckDB ln differ in the last ulp).
+# ---------------------------------------------------------------------------
+
+LM_TERMS, LM_MU = ("stream", "window"), 2000.0
+
+
+def q_lm_dirichlet(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs)
+    n_docs = docs.count()
+    total = float(toks.count())
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    pruned = postings.filter(F.col("term").isin(list(LM_TERMS)))
+    cf = pruned.groupBy("term").agg(F.sum("tf").alias("cf"))
+    matches = (pruned.join(F.broadcast(cf), "term").join(dl, "doc_id"))
+    addend = (
+        F.log(F.lit(1.0) + F.col("tf")
+              / (F.lit(LM_MU) * (F.col("cf") / F.lit(total))))
+        + F.log(F.lit(LM_MU) / (F.col("dl") + F.lit(LM_MU)))
+    )
+    scores = matches.groupBy("doc_id").agg(
+        F.round(F.sum(addend), 6).alias("score"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+    topk = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(win).cast("long"))
+        .select("rank", "doc_id", "n_terms", "score")
+    )
+
+
+SQL_LM_DIRICHLET = f"""
+WITH {SQL_TOKS},
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks2 GROUP BY 1),
+consts AS (SELECT (SELECT count(*) FROM toks2)::DOUBLE AS total),
+pruned AS (SELECT * FROM postings
+           WHERE term IN ('{LM_TERMS[0]}', '{LM_TERMS[1]}')),
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM pruned GROUP BY 1),
+scores AS (
+    SELECT p.doc_id,
+           round(sum(ln(1.0 + p.tf / ({LM_MU} * (cf.cf / c.total)))
+                     + ln({LM_MU} / (dl.dl + {LM_MU}))), 6) AS score,
+           count(*)::BIGINT AS n_terms
+    FROM pruned p
+    JOIN cf ON p.term = cf.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+    GROUP BY p.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, n_terms, score
+FROM scores
+ORDER BY rank
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q73 term vectors — plans/rank.term_vector (Elasticsearch _termvectors):
+# one row per distinct term of one document with tf and the sorted
+# 0-based positions array.  Spark posexplode is 0-based; DuckDB
+# generate_subscripts is 1-based, hence the pos - 1 in the twin.
+# ---------------------------------------------------------------------------
+
+TV_DOC = 7
+
+
+def q_term_vectors(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") == TV_DOC)
+    pos = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.split(
+                    F.trim(F.regexp_replace(
+                        F.lower(F.col("text")), _NORM_RE, " ")),
+                    r"\s+",
+                )
+            ).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    return (
+        pos.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.sort_array(F.collect_list(F.col("pos").cast("long")))
+            .alias("positions"),
+        )
+        .select("term", "tf", "positions")
+    )
+
+
+SQL_TERM_VECTORS = f"""
+WITH seq AS (
+    SELECT doc_id,
+           string_split_regex(
+               trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')),
+               '\\s+') AS tokens
+    FROM documents
+    WHERE doc_id = {TV_DOC}
+),
+pos0 AS (
+    SELECT doc_id, unnest(tokens) AS term,
+           generate_subscripts(tokens, 1) AS pos
+    FROM seq
+),
+pos2 AS (SELECT doc_id, term, pos FROM pos0 WHERE term <> '')
+SELECT term, count(*)::BIGINT AS tf,
+       list_sort(list(pos - 1)) AS positions
+FROM pos2
+GROUP BY term
+"""
+
+
+# ---------------------------------------------------------------------------
+# q74 two-phase rescore — plans/rank.rescore_topk (Elasticsearch
+# ``rescore`` with a match_phrase window): BM25 OR first pass over
+# (hash, join), top RS_N candidates by ROUNDED score (the cross-engine
+# cut must not depend on the last ulp of ln), then a phrase-adjacency
+# boost  score = round(score_first + RS_W * ln(1 + ptf), 6)  computed
+# only for the bounded candidate window.
+# ---------------------------------------------------------------------------
+
+RS_T0, RS_T1, RS_N, RS_W = "hash", "join", 50, 2.0
+
+
+def q_rescore(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pos = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.split(
+                    F.trim(F.regexp_replace(
+                        F.lower(F.col("text")), _NORM_RE, " ")),
+                    r"\s+",
+                )
+            ).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    toks = pos.select("doc_id", "term")
+    n_docs = docs.count()
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = toks.count() / n_docs
+    dictionary = postings.groupBy("term").agg(F.count("*").alias("df"))
+    q_terms = (
+        dictionary.filter(F.col("term").isin([RS_T0, RS_T1]))
+        .withColumn("idf", F.log(
+            (F.lit(float(n_docs)) - F.col("df") + 0.5)
+            / (F.col("df") + 0.5) + 1.0))
+    )
+    w = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+    )
+    first = (
+        postings.join(F.broadcast(q_terms.select("term", "idf")), "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("idf") * w), 6).alias("score_first"))
+        .orderBy(F.col("score_first").desc(), F.col("doc_id").asc())
+        .limit(RS_N)
+    )
+    p0 = pos.filter(F.col("term") == RS_T0).select("doc_id", "pos")
+    p1 = pos.filter(F.col("term") == RS_T1).select(
+        F.col("doc_id").alias("d1"), (F.col("pos") - 1).alias("pos"))
+    occ = (
+        p0.join(p1, (F.col("doc_id") == F.col("d1"))
+                & (p0["pos"] == p1["pos"]))
+        .groupBy("doc_id").agg(F.count("*").cast("long").alias("ptf"))
+    )
+    cand = (
+        first.join(occ, "doc_id", "left").fillna(0, subset=["ptf"])
+        .withColumn("score", F.round(
+            F.col("score_first")
+            + F.lit(RS_W) * F.log(F.lit(1.0) + F.col("ptf")), 6))
+    )
+    topk = cand.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(win).cast("long"))
+        .select("rank", "doc_id", "ptf", "score_first", "score")
+    )
+
+
+SQL_RESCORE = f"""
+WITH {SQL_POS},
+toksr AS (SELECT doc_id, term FROM pos2),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toksr GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toksr GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM toksr)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q AS (
+    SELECT d.term, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+    FROM dict d, consts c
+    WHERE d.term IN ('{RS_T0}', '{RS_T1}')
+),
+first AS (
+    SELECT p.doc_id,
+           round(sum(q.idf * ((p.tf * {K1 + 1.0}) /
+                 (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))))), 6)
+               AS score_first
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+    GROUP BY p.doc_id
+    ORDER BY score_first DESC, p.doc_id ASC
+    LIMIT {RS_N}
+),
+occ AS (
+    SELECT p0.doc_id, count(*)::BIGINT AS ptf
+    FROM pos2 p0
+    JOIN pos2 p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+    WHERE p0.term = '{RS_T0}' AND p1.term = '{RS_T1}'
+    GROUP BY p0.doc_id
+),
+cand AS (
+    SELECT f.doc_id, coalesce(o.ptf, 0)::BIGINT AS ptf, f.score_first,
+           round(f.score_first + {RS_W} * ln(1.0 + coalesce(o.ptf, 0)), 6)
+               AS score
+    FROM first f LEFT JOIN occ o ON f.doc_id = o.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, ptf, score_first, score
+FROM cand
+ORDER BY rank
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q75 nested boolean expression — plans/boolquery.py semantics on the
+# oracle-tier tables: "(data OR stream) AND NOT merge".  Candidate
+# universe = docs matching >= 1 positive term; the expression evaluates
+# over per-doc presence flags (one conditional hash agg); prohibited
+# terms gate membership but never score (Lucene MUST_NOT).
+# ---------------------------------------------------------------------------
+
+BOOL_POS, BOOL_NEG = ("data", "stream"), "merge"
+
+
+def q_bool_expr(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs)
+    n_docs = docs.count()
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = toks.count() / n_docs
+    all_terms = [BOOL_POS[0], BOOL_POS[1], BOOL_NEG]
+    dictionary = postings.groupBy("term").agg(F.count("*").alias("df"))
+    q_terms = (
+        dictionary.filter(F.col("term").isin(all_terms))
+        .withColumn("idf", F.log(
+            (F.lit(float(n_docs)) - F.col("df") + 0.5)
+            / (F.col("df") + 0.5) + 1.0))
+    )
+    matches = (
+        postings.filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(q_terms.select("term", "idf")), "term")
+        .join(dl, "doc_id")
+    )
+    w = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+    )
+    contrib = F.when(F.col("term").isin(list(BOOL_POS)),
+                     F.col("idf") * w).otherwise(F.lit(0.0))
+    per_doc = matches.groupBy("doc_id").agg(
+        F.round(F.sum(contrib), 6).alias("score"),
+        F.max(F.when(F.col("term") == BOOL_POS[0], 1).otherwise(0)).alias("m0"),
+        F.max(F.when(F.col("term") == BOOL_POS[1], 1).otherwise(0)).alias("m1"),
+        F.max(F.when(F.col("term") == BOOL_NEG, 1).otherwise(0)).alias("mn"),
+    )
+    qualified = per_doc.filter(
+        ((F.col("m0") == 1) | (F.col("m1") == 1)) & (F.col("mn") == 0))
+    topk = (qualified.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(10))
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(win).cast("long"))
+        .withColumn("n_pos", (F.col("m0") + F.col("m1")).cast("long"))
+        .select("rank", "doc_id", "n_pos", "score")
+    )
+
+
+SQL_BOOL_EXPR = f"""
+WITH {SQL_TOKS},
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks2 GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM toks2)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q AS (
+    SELECT d.term, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+    FROM dict d, consts c
+    WHERE d.term IN ('{BOOL_POS[0]}', '{BOOL_POS[1]}', '{BOOL_NEG}')
+),
+per_doc AS (
+    SELECT p.doc_id,
+           round(sum(CASE WHEN p.term IN ('{BOOL_POS[0]}', '{BOOL_POS[1]}')
+                 THEN q.idf * ((p.tf * {K1 + 1.0}) /
+                      (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))))
+                 ELSE 0.0 END), 6) AS score,
+           max(CASE WHEN p.term = '{BOOL_POS[0]}' THEN 1 ELSE 0 END) AS m0,
+           max(CASE WHEN p.term = '{BOOL_POS[1]}' THEN 1 ELSE 0 END) AS m1,
+           max(CASE WHEN p.term = '{BOOL_NEG}' THEN 1 ELSE 0 END) AS mn
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+    GROUP BY p.doc_id
+),
+qualified AS (
+    SELECT doc_id, score, (m0 + m1)::BIGINT AS n_pos
+    FROM per_doc
+    WHERE (m0 = 1 OR m1 = 1) AND mn = 0
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, n_pos, score
+FROM qualified
+ORDER BY rank
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3918,6 +4349,11 @@ def queries() -> dict:
         "q68_hybrid_rrf": q_hybrid_rrf,
         "q69_significant_terms": q_significant_terms,
         "q70_regex_search": q_regex_search,
+        "q71_wildcard_search": q_wildcard_search,
+        "q72_lm_dirichlet": q_lm_dirichlet,
+        "q73_term_vectors": q_term_vectors,
+        "q74_rescore": q_rescore,
+        "q75_bool_expr": q_bool_expr,
     }
 
 
@@ -3994,4 +4430,9 @@ def oracle_sql() -> dict:
         "q68_hybrid_rrf": SQL_HYBRID_RRF,
         "q69_significant_terms": SQL_SIGNIFICANT_TERMS,
         "q70_regex_search": SQL_REGEX_SEARCH,
+        "q71_wildcard_search": SQL_WILDCARD_SEARCH,
+        "q72_lm_dirichlet": SQL_LM_DIRICHLET,
+        "q73_term_vectors": SQL_TERM_VECTORS,
+        "q74_rescore": SQL_RESCORE,
+        "q75_bool_expr": SQL_BOOL_EXPR,
     }

@@ -173,7 +173,8 @@ def lm_dirichlet_topk(postings: DataFrame, dictionary: DataFrame,
                       docs: DataFrame, query: str, n_docs: int,
                       total_tokens: float, k: int = 10, mu: float = 2000.0,
                       pre_parsed: tuple | None = None,
-                      cf_cache: dict | None = None) -> DataFrame:
+                      cf_cache: dict | None = None,
+                      exclude_ids=None) -> DataFrame:
     """Query-likelihood ranking with Dirichlet-prior smoothing (Zhai &
     Lafferty, SIGIR 2001; Lucene ``LMDirichletSimilarity``).  Per
     matched (term, doc):
@@ -240,6 +241,10 @@ def lm_dirichlet_topk(postings: DataFrame, dictionary: DataFrame,
         postings.filter(F.col("term").isin(present))
         .join(F.broadcast(terms_df), "term", "inner")
     )
+    if exclude_ids:
+        dead = spark.createDataFrame(
+            [(int(i),) for i in sorted(exclude_ids)], "doc_id long")
+        matches = matches.join(F.broadcast(dead), "doc_id", "left_anti")
     scores = matches.groupBy("doc_id").agg(
         F.sum(addend).alias("score"),
         F.count("*").alias("_nt"),
@@ -265,6 +270,19 @@ def lm_dirichlet_topk(postings: DataFrame, dictionary: DataFrame,
 # ---------------------------------------------------------------------------
 
 
+def _flat_positions(positions: DataFrame) -> DataFrame:
+    """Accept either positional layout — the flat (doc_id, term, pos)
+    oracle-tier shape or the catalog's plural (term, doc_id, positions
+    array) shape (sources/catalog.py, same dual contract as
+    operators/phrase.py) — and return the flat shape.  The explode is a
+    native Generate; callers prune (by term/doc) BEFORE flattening so
+    only surviving rows explode."""
+    if "pos" in positions.columns:
+        return positions.select("doc_id", "term", "pos")
+    return positions.select(
+        "doc_id", "term", F.explode("positions").alias("pos"))
+
+
 def term_vector(positions: DataFrame, doc_id: int) -> DataFrame:
     """Per-document term vector (Elasticsearch ``_termvectors``): one
     row per distinct term of ``doc_id`` with its tf and sorted 0-based
@@ -275,7 +293,7 @@ def term_vector(positions: DataFrame, doc_id: int) -> DataFrame:
     positions), deterministic regardless of scan order (positions are
     sort_array'd)."""
     return (
-        positions.filter(F.col("doc_id") == int(doc_id))
+        _flat_positions(positions.filter(F.col("doc_id") == int(doc_id)))
         .groupBy("term")
         .agg(
             F.count("*").cast("long").alias("tf"),
@@ -296,7 +314,8 @@ def rescore_topk(positions: DataFrame, postings: DataFrame,
                  n_docs: int, avgdl: float, first_n: int = 50, k: int = 10,
                  weight: float = 0.5, bm25: BM25Config = BM25Config(),
                  pre_parsed: tuple | None = None,
-                 idf_cache: dict | None = None) -> DataFrame:
+                 idf_cache: dict | None = None,
+                 exclude_ids=None) -> DataFrame:
     """Two-phase retrieval (Elasticsearch ``rescore``, Lucene
     QueryRescorer): a cheap first pass selects the BM25 OR-mode top
     ``first_n`` candidates, then an expensive second pass recomputes
@@ -325,7 +344,8 @@ def rescore_topk(positions: DataFrame, postings: DataFrame,
     pairs = sorted({(a, b) for a, b in zip(terms, terms[1:]) if a != b})
     scores = _scored_candidates(postings, dictionary, query, n_docs,
                                 avgdl, bm25, pre_parsed=(terms, is_bool),
-                                idf_cache=idf_cache)
+                                idf_cache=idf_cache,
+                                exclude_ids=exclude_ids)
     if scores is None:
         return spark.createDataFrame(
             [], "rank int, doc_id long, url string, ptf long, "
@@ -338,10 +358,9 @@ def rescore_topk(positions: DataFrame, postings: DataFrame,
 
     if pairs:
         pair_terms = sorted({t for p in pairs for t in p})
-        pos = (
+        pos = _flat_positions(
             positions.filter(F.col("term").isin(pair_terms))
             .join(F.broadcast(first.select("doc_id")), "doc_id", "left_semi")
-            .select("doc_id", "term", "pos")
         )
         pairs_df = spark.createDataFrame(pairs, "t0 string, t1 string")
         p0 = pos.join(F.broadcast(pairs_df), pos["term"] == F.col("t0"))

@@ -1361,3 +1361,61 @@ def test_wildcard_expansion_cache_skips_job(built):
     b = expand_wildcard(built.dictionary, "mach*", max_expansions=5,
                         cache=cache)
     assert b == ["sentinel"] and a != b   # second call served from cache
+
+
+def test_query_service_wildcard_and_lm(spark, tmp_path, built, index_df):
+    """CLI routing: a single token carrying a non-trailing wildcard
+    routes to wildcard_topk (bit-identical to the direct call);
+    --scorer lm ranks by LM-Dirichlet with T derived once from the
+    dictionary's cf column; --rescore/--termvectors on a catalog
+    without positions fail with the positional-build hint."""
+    import importlib.util
+    from pathlib import Path
+
+    from ir_index_construction_spark.plans.rank import (
+        lm_dirichlet_topk, wildcard_topk)
+    from ir_index_construction_spark.sources.catalog import Catalog
+
+    spec = importlib.util.spec_from_file_location(
+        "submit_query_wild",
+        Path(__file__).resolve().parent.parent / "tools" / "submit_query.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    cat = Catalog(str(tmp_path / "cat_wild"))
+    txn = cat.transaction()
+    txn.write(built.postings, "postings")
+    txn.write(built.docs, "docs")
+    txn.write(built.dictionary, "dictionary")
+    txn.write(index_df, "index")
+    txn.write(spark.createDataFrame(
+        [(built.n_docs, built.avgdl, 1)],
+        "n_docs long, avgdl double, n_terms long"), "stats")
+    txn.commit()
+
+    svc = m.QueryService(spark, cat)
+    got = svc.run("*n", 10, "wand", False).orderBy("rank").collect()
+    want = wildcard_topk(index_df, built.dictionary, built.docs, "*n",
+                         built.n_docs, built.avgdl, k=10) \
+        .orderBy("rank").collect()
+    assert [(r["rank"], r["doc_id"], r["url"], r["score"]) for r in got] == \
+           [(r["rank"], r["doc_id"], r["url"], r["score"]) for r in want]
+    assert got
+
+    total = float(sum(r["cf"] for r in built.dictionary.collect()))
+    got_lm = svc.run("machine learning", 10, "wand", False,
+                     scorer="lm").orderBy("rank").collect()
+    want_lm = lm_dirichlet_topk(built.postings, built.dictionary,
+                                built.docs, "machine learning",
+                                built.n_docs, total, k=10) \
+        .orderBy("rank").collect()
+    assert [(r["rank"], r["doc_id"], r["url"], r["score"])
+            for r in got_lm] == \
+           [(r["rank"], r["doc_id"], r["url"], r["score"])
+            for r in want_lm]
+    assert got_lm
+
+    with pytest.raises(SystemExit, match="positional"):
+        svc.run("machine learning", 10, "wand", False, rescore=20)
+    with pytest.raises(SystemExit, match="positional"):
+        svc.term_vectors(0)

@@ -533,3 +533,43 @@ def test_mixed_topk_sums_phrase_and_term_clauses(spark, pos_build):
         .orderBy("rank").collect()
     assert [(r["doc_id"], r["score"]) for r in got4] \
         == [(r["doc_id"], r["score"]) for r in want4]
+
+
+def test_query_service_rescore_and_termvectors(spark, pos_build):
+    """The service's --rescore and --termvectors surfaces over a
+    positional catalog match the direct plans/rank.py calls."""
+    import importlib.util
+    from pathlib import Path
+
+    from ir_index_construction_spark.plans.rank import (
+        rescore_topk, term_vector)
+
+    spec = importlib.util.spec_from_file_location(
+        "submit_query_rescore",
+        Path(__file__).resolve().parent.parent / "tools" / "submit_query.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    svc = m.QueryService(spark, pos_build)
+    positions, docs, n_docs, avgdl = _phrase_frames(spark, pos_build)
+    postings = pos_build.read(spark, "postings")
+    dictionary = pos_build.read(spark, "dictionary")
+
+    got = svc.run("machine learning", 10, "wand", False,
+                  rescore=20, rescore_weight=2.0).orderBy("rank").collect()
+    want = rescore_topk(positions, postings, dictionary, docs,
+                        "machine learning", n_docs, avgdl, first_n=20,
+                        k=10, weight=2.0).orderBy("rank").collect()
+    assert [(r["rank"], r["doc_id"], r["ptf"], r["score"]) for r in got] == \
+           [(r["rank"], r["doc_id"], r["ptf"], r["score"]) for r in want]
+    assert got
+
+    some_doc = got[0]["doc_id"]
+    tv = svc.term_vectors(some_doc).orderBy("term").collect()
+    want_tv = term_vector(positions, some_doc).orderBy("term").collect()
+    assert [(r["term"], r["tf"], list(r["positions"])) for r in tv] == \
+           [(r["term"], r["tf"], list(r["positions"])) for r in want_tv]
+    assert tv, "term vector non-empty for a ranked doc"
+    # tf is consistent with the positions array by construction
+    for r in tv:
+        assert r["tf"] == len(r["positions"])

@@ -5,9 +5,10 @@ the ranked URLs and the elapsed milliseconds until an empty line quits).
 
     spark-submit --py-files dist/engine.zip tools/submit_query.py \
         --catalog /data/index_catalog [--query "machine learning"] [-k 10]
-        [--mode wand|exhaustive|phrase|prefix|fuzzy|regex|significant|
-                mlt|related]
+        [--mode wand|exhaustive|phrase|prefix|fuzzy|regex|wildcard|
+                significant|mlt|related]
         [--weighted] [--zone title] [--after SCORE:DOC_ID]
+        [--scorer bm25|lm] [--rescore N] [--termvectors DOC_ID]
         [--batch queries.txt]
 
 --batch FILE evaluates every line of FILE as one query in a SINGLE
@@ -30,8 +31,14 @@ in:title), more-like-this (--mode mlt, query is a doc_id), related
 terms (--mode related, PMI partners), search-after deep pagination
 (--after SCORE:DOC_ID, the last row of the previous page), a per-term
 score breakdown (--explain DOC_ID, the Lucene Explanation analogue),
-field collapsing (--collapse, one best result per url host), and a
-"did you mean" line on zero-hit term queries.
+field collapsing (--collapse, one best result per url host), general
+wildcards (--mode wildcard, auto-selected for single tokens carrying
+'*'/'?' — leading '*er' and infix 'm?chine' shapes; trailing-* stays on
+the prefix plan), LM-Dirichlet ranking (--scorer lm, mu=2000 query
+likelihood instead of BM25), two-phase rescoring (--rescore N: BM25
+first pass cut at N, phrase-adjacency boost on that window only), term
+vectors (--termvectors DOC_ID: tf + sorted 0-based positions per term),
+and a "did you mean" line on zero-hit term queries.
 
 Without --query, enters the REPL:
 
@@ -71,6 +78,7 @@ class QueryService:
         self._tsc = TermStatsCache()
         self._psc = TermStatsCache()     # phrase df_p cache (same contract)
         self._esc = TermStatsCache()     # prefix/fuzzy expansion cache
+        self._cfc = TermStatsCache()     # LM collection-frequency cache
         self._f: dict = {}
 
     def _refresh(self):
@@ -114,13 +122,48 @@ class QueryService:
     def run(self, query: str, k: int, mode: str, weighted: bool,
             zone: str | None = None, after: tuple | None = None,
             collapse: bool = False, synonyms: dict | None = None,
-            min_match: int | None = None):
+            min_match: int | None = None, scorer: str = "bm25",
+            rescore: int | None = None, rescore_weight: float = 2.0):
         from ir_index_construction_spark.operators.topk import wand_topk
         from ir_index_construction_spark.plans.query import (
             bm25_topk_exhaustive, collapse_by_domain, fuzzy_topk,
             more_like_this, phrase_topk_indexed, prefix_topk)
 
         f, idf_cache = self._refresh()
+        # --scorer lm = LM-Dirichlet query likelihood instead of BM25
+        # (plans/rank.lm_dirichlet_topk) on plain term queries.  T (total
+        # collection tokens) is one dictionary agg, computed lazily and
+        # held per snapshot like every other corpus stat; per-term cf is
+        # snapshot-cached like idf.
+        if scorer == "lm":
+            from pyspark.sql import functions as F
+
+            from ir_index_construction_spark.plans.rank import (
+                lm_dirichlet_topk)
+
+            if self._f.get("total_tokens") is None:
+                self._f["total_tokens"] = float(
+                    f["dictionary"].agg(F.sum("cf")).collect()[0][0] or 0.0)
+            return lm_dirichlet_topk(
+                f["postings"], f["dictionary"], f["docs"], query,
+                f["n_docs"], self._f["total_tokens"], k=k,
+                cf_cache=self._cfc.for_snapshot(self._catalog_id),
+                exclude_ids=f["exclude_ids"])
+        # --rescore N = two-phase retrieval (Elasticsearch rescore):
+        # BM25 OR first pass cut at N candidates, phrase-adjacency boost
+        # recomputed only for that bounded window (plans/rank.rescore_topk)
+        if rescore:
+            if "positions" not in self._f:
+                raise SystemExit(
+                    "--rescore needs a positional index: rebuild the "
+                    "catalog with BuildConfig(positions=True)")
+            from ir_index_construction_spark.plans.rank import rescore_topk
+
+            return rescore_topk(
+                f["positions"], f["postings"], f["dictionary"], f["docs"],
+                query, f["n_docs"], f["avgdl"], first_n=rescore, k=k,
+                weight=rescore_weight, idf_cache=idf_cache,
+                exclude_ids=f["exclude_ids"])
         # --collapse = one best result per url host ("one result per
         # site"); runs over the FULL scored candidate set on the
         # exhaustive plan — a pre-cut page could under-fill
@@ -201,6 +244,24 @@ class QueryService:
         # term-sorted scan — and runs as OR-mode WAND
         slashed = len(query) >= 2 and query[0] == query[-1] == "/" \
             and " " not in query
+        # a single token carrying '*' or '?' beyond the trailing-* shape
+        # (which the prefix plan above already took) is a wildcard query
+        # (Lucene WildcardQuery): leading '*er', infix 'm?chine' —
+        # shape-aware dictionary expansion, then OR-mode WAND.  A
+        # /slash-wrapped/ token is NOT a wildcard even when the regex
+        # body contains '*' — the regex route below owns that syntax.
+        wild = query and " " not in query and not slashed \
+            and any(c in query for c in "*?")
+        if mode == "wildcard" or (wild and mode not in ("regex",)):
+            from ir_index_construction_spark.plans.rank import wildcard_topk
+
+            return wildcard_topk(f["index"], f["dictionary"], f["docs"],
+                                 query, f["n_docs"], f["avgdl"], k=k,
+                                 weighted=weighted, idf_cache=idf_cache,
+                                 exclude_ids=f["exclude_ids"],
+                                 bound_scale=f["bound_scale"],
+                                 expansion_cache=self._esc.for_snapshot(
+                                     self._catalog_id))
         if mode == "regex" or slashed:
             from ir_index_construction_spark.plans.query import regex_topk
 
@@ -252,6 +313,19 @@ class QueryService:
                 int(query), f["n_docs"], f["avgdl"], k=k,
                 weighted=weighted, idf_cache=idf_cache,
                 exclude_ids=f["exclude_ids"], bound_scale=f["bound_scale"])
+        # a parenthesized or NOT-bearing query is the nested boolean
+        # expression language — "(a OR b) AND NOT c" with precedence
+        # NOT > AND > OR (plans/boolquery.py); runs as ONE conditional
+        # hash agg on the exhaustive tier, prohibited clauses gate but
+        # never score (Lucene MUST_NOT)
+        if "(" in query or query.startswith("NOT ") or " NOT " in query:
+            from ir_index_construction_spark.plans.boolquery import (
+                bool_query_topk)
+
+            return bool_query_topk(f["postings"], f["dictionary"],
+                                   f["docs"], query, f["n_docs"],
+                                   f["avgdl"], k=k, idf_cache=idf_cache,
+                                   exclude_ids=f["exclude_ids"])
         # '-term' negations route to the exhaustive plan: the excluded
         # doc set is data-sized, so it stays a distributed anti-join
         # (see bm25_topk_exhaustive's negated docstring)
@@ -315,6 +389,19 @@ class QueryService:
                              doc_id, f["n_docs"], f["avgdl"],
                              weighted=weighted, idf_cache=idf_cache)
 
+    def term_vectors(self, doc_id: int):
+        """One document's term vector — (term, tf, sorted 0-based
+        positions) over the positional index (plans/rank.term_vector;
+        the Elasticsearch _termvectors analogue)."""
+        from ir_index_construction_spark.plans.rank import term_vector
+
+        f, _ = self._refresh()
+        if "positions" not in f:
+            raise SystemExit(
+                "--termvectors needs a positional index: rebuild the "
+                "catalog with BuildConfig(positions=True)")
+        return term_vector(f["positions"], doc_id)
+
     def suggest(self, query: str) -> str | None:
         """'did you mean' for a zero-hit query: each absent term's
         closest indexed neighbor (plans/query.py suggest_terms).
@@ -361,8 +448,8 @@ def main():
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--mode",
                     choices=["wand", "exhaustive", "phrase", "prefix",
-                             "fuzzy", "regex", "significant", "mlt",
-                             "related"],
+                             "fuzzy", "regex", "wildcard", "significant",
+                             "mlt", "related"],
                     default="wand",
                     help="phrase = exact-phrase top-k over the positional "
                          "index (a \"double-quoted\" query selects it "
@@ -397,6 +484,23 @@ def main():
     ap.add_argument("--explain", default=None, type=int, metavar="DOC_ID",
                     help="print the per-term BM25 score breakdown for "
                          "this doc under --query instead of searching")
+    ap.add_argument("--scorer", choices=["bm25", "lm"], default="bm25",
+                    help="ranking function for plain term queries: bm25 "
+                         "(default) or lm = LM-Dirichlet query "
+                         "likelihood (mu=2000, Lucene "
+                         "LMDirichletSimilarity semantics)")
+    ap.add_argument("--rescore", default=None, type=int, metavar="N",
+                    help="two-phase retrieval: BM25 first pass cut at N "
+                         "candidates, then a phrase-adjacency boost "
+                         "recomputed only on that window (needs a "
+                         "positional index)")
+    ap.add_argument("--rescore-weight", default=2.0, type=float,
+                    dest="rescore_weight", metavar="W",
+                    help="rescore boost weight: score + W*ln(1+ptf)")
+    ap.add_argument("--termvectors", default=None, type=int,
+                    metavar="DOC_ID",
+                    help="print DOC_ID's term vector (term, tf, sorted "
+                         "0-based positions) instead of searching")
     ap.add_argument("--after", default=None, metavar="SCORE:DOC_ID",
                     help="search-after pagination cursor — the score and "
                          "doc_id of the last row of the previous page "
@@ -464,6 +568,17 @@ def main():
         if fix:
             print(f"  did you mean: {fix} ?")
 
+    if args.termvectors is not None:
+        rows = service.term_vectors(args.termvectors) \
+            .orderBy("term").collect()
+        if not rows:
+            print("  (doc has no indexed terms)")
+            return
+        for r in rows:
+            print(f"  {r['term']:24} tf={r['tf']:<5} "
+                  f"pos={list(r['positions'])}")
+        return
+
     if args.explain is not None:
         if args.query is None:
             raise SystemExit("--explain needs --query")
@@ -498,7 +613,9 @@ def main():
         out = service.run(args.query, args.k, args.mode, args.weighted,
                           zone=args.zone, after=after,
                           collapse=args.collapse, synonyms=synonyms,
-                          min_match=args.min_match)
+                          min_match=args.min_match, scorer=args.scorer,
+                          rescore=args.rescore,
+                          rescore_weight=args.rescore_weight)
         rows = out.orderBy(
             F.col(order_col).desc() if order_col == "pmi"
             else F.col(order_col).asc()).collect()
@@ -520,7 +637,9 @@ def main():
         rows = service.run(query, args.k, args.mode, args.weighted,
                            zone=args.zone, after=after,
                            collapse=args.collapse, synonyms=synonyms,
-                           min_match=args.min_match) \
+                           min_match=args.min_match, scorer=args.scorer,
+                           rescore=args.rescore,
+                           rescore_weight=args.rescore_weight) \
             .orderBy(F.col(order_col).desc() if order_col == "pmi"
                      else F.col(order_col).asc()).collect()
         elapsed_ms = (time.time() - t0) * 1000.0
