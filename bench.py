@@ -415,6 +415,37 @@ def main():
         extras["wand_batch100_ms_per_query"] = round(
             timings["wand_batch100"] * 1000.0 / 100, 2)
 
+        # round-4 query-language additions, steady-state (expansion/idf
+        # caches warm, like a running service): one leading-wildcard
+        # query (the reversed-dictionary/EndsWith expansion shape) and
+        # one nested boolean expression (one conditional hash agg)
+        from ir_index_construction_spark.plans.boolquery import (
+            bool_query_topk)
+        from ir_index_construction_spark.plans.rank import wildcard_topk
+
+        w_pat = "*" + head_terms[0][-2:]     # suffix of the df-heaviest term
+        e_cache: dict = {}
+
+        def run_wild():
+            return wildcard_topk(index, built.dictionary, built.docs,
+                                 w_pat, built.n_docs, built.avgdl, k=10,
+                                 idf_cache=idf_cache,
+                                 expansion_cache=e_cache).collect()
+
+        run_wild()                                        # warmup
+        timed("wand_wildcard", run_wild, reps=3)
+
+        bool_q = "(machine OR learning) AND NOT research"
+
+        def run_bool():
+            return bool_query_topk(built.postings, built.dictionary,
+                                   built.docs, bool_q, built.n_docs,
+                                   built.avgdl, k=10,
+                                   idf_cache=idf_cache).collect()
+
+        run_bool()                                        # warmup
+        timed("bool_expr", run_bool, reps=3)
+
         # positional index + exact-phrase top-k (round-4 capability):
         # positions built once from the same staged corpus (one-shot,
         # reported in extras like the stream drains — a second build in
