@@ -4277,6 +4277,190 @@ LIMIT 10
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# date-histogram facet (q76): the Elasticsearch ``date_histogram``
+# aggregation over a query's FULL match set — "when was this topic
+# crawled?".  Unlike q54 (facets over a <=k ranked page) a histogram
+# needs every hit, so the plan is the shared scoring core -> one
+# doc_id-keyed dimension join -> one tiny partial+final hash agg on the
+# derived month bucket.  The testdata documents table carries no
+# timestamp, so a deterministic crawl date is synthesized from doc_id
+# (same convention as q02's synthesized urls); the engine tier is
+# plans/query.facet_date_histogram, which this entry calls directly so
+# the driver hash-checks the engine function itself.
+# ---------------------------------------------------------------------------
+
+DATEFACET_TERMS = ("query", "window")
+
+
+def q_date_facet(spark, sf_dir):
+    from .plans.query import facet_date_histogram
+
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs)
+    n_docs = docs.count()
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = toks.count() / n_docs
+    dictionary = postings.groupBy("term").agg(F.count("*").alias("df"))
+    terms = spark.createDataFrame([(t,) for t in DATEFACET_TERMS],
+                                  "term string")
+    tdf = dictionary.join(F.broadcast(terms), "term").withColumn(
+        "idf", F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                     / (F.col("df") + 0.5) + 1.0))
+    matches = (
+        postings.join(F.broadcast(tdf.select("term", "idf")), "term")
+        .join(dl, "doc_id")
+    )
+    w = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+    )
+    scores = matches.groupBy("doc_id").agg(
+        F.round(F.sum(F.col("idf") * w), 6).alias("score"))
+    dims = docs.select(
+        "doc_id",
+        F.date_add(F.to_date(F.lit("2024-01-01")),
+                   (F.col("doc_id") % 365).cast("int")).alias("crawl_date"))
+    return facet_date_histogram(scores, dims, ts_col="crawl_date",
+                                granularity="month")
+
+
+SQL_DATE_FACET = f"""
+WITH {SQL_TOKS},
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks2 GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM toks2)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q AS (
+    SELECT d.term, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+    FROM dict d, consts c
+    WHERE d.term IN {tuple(DATEFACET_TERMS)!r}
+),
+scores AS (
+    SELECT p.doc_id,
+           round(sum(q.idf * ((p.tf * {K1 + 1.0}) /
+                 (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))))), 6)
+               AS score
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+    GROUP BY p.doc_id
+)
+SELECT strftime(date_trunc('month',
+                DATE '2024-01-01' + (d.doc_id % 365)::INT), '%Y-%m')
+           AS bucket,
+       count(*)::BIGINT AS n_docs,
+       round(avg(s.score), 6) AS avg_score,
+       round(max(s.score), 6) AS top_score
+FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# diversified top-k (q77): the "at most N results per site" SERP rule —
+# field collapsing generalized to a per-key CAP (Elasticsearch
+# ``collapse`` + ``inner_hits``-sized pages).  Same
+# full-candidate-set-before-cut rule as q61; the per-source rank window
+# is hash-partitioned on the key.  Engine tier:
+# plans/query.collapse_by_domain(per_domain=N).  ``slot`` is the doc's
+# position within its source (1..cap) so the cap itself is
+# hash-checked, not just the final page.
+# ---------------------------------------------------------------------------
+
+DIVERSE_TERMS, DIVERSE_CAP, DIVERSE_K = ("data", "stream"), 2, 10
+
+
+def q_diversified_topk(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs)
+    n_docs = docs.count()
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = toks.count() / n_docs
+    dictionary = postings.groupBy("term").agg(F.count("*").alias("df"))
+    terms = spark.createDataFrame([(t,) for t in DIVERSE_TERMS],
+                                  "term string")
+    tdf = dictionary.join(F.broadcast(terms), "term").withColumn(
+        "idf", F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                     / (F.col("df") + 0.5) + 1.0))
+    matches = (
+        postings.join(F.broadcast(tdf.select("term", "idf")), "term")
+        .join(dl, "doc_id")
+    )
+    w = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+    )
+    scores = matches.groupBy("doc_id").agg(
+        F.round(F.sum(F.col("idf") * w), 6).alias("score"))
+    cand = docs.select("doc_id", "source").join(scores, "doc_id")
+    capped = (
+        cand.withColumn("slot", F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.col("score").desc(), F.col("doc_id").asc())).cast("long"))
+        .filter(F.col("slot") <= DIVERSE_CAP)
+    )
+    topk = capped.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()).limit(DIVERSE_K)
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(win).cast("long"))
+        .select("rank", "doc_id", "source", "slot", "score")
+    )
+
+
+SQL_DIVERSIFIED_TOPK = f"""
+WITH {SQL_TOKS},
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks2 GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM toks2)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q AS (
+    SELECT d.term, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+    FROM dict d, consts c
+    WHERE d.term IN {tuple(DIVERSE_TERMS)!r}
+),
+scores AS (
+    SELECT p.doc_id,
+           round(sum(q.idf * ((p.tf * {K1 + 1.0}) /
+                 (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))))), 6)
+               AS score
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+    GROUP BY p.doc_id
+),
+capped AS (
+    SELECT d.doc_id, d.source, s.score,
+           row_number() OVER (PARTITION BY d.source
+                              ORDER BY s.score DESC, d.doc_id ASC)::BIGINT
+               AS slot
+    FROM documents d JOIN scores s ON s.doc_id = d.doc_id
+    QUALIFY slot <= {DIVERSE_CAP}
+),
+page AS (
+    SELECT doc_id, source, slot, score FROM capped
+    ORDER BY score DESC, doc_id ASC LIMIT {DIVERSE_K}
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, source, slot, score
+FROM page
+ORDER BY rank
+"""
+
+
 def queries() -> dict:
     return {
         "q01_scan_filter": q_scan_filter,
@@ -4354,6 +4538,8 @@ def queries() -> dict:
         "q73_term_vectors": q_term_vectors,
         "q74_rescore": q_rescore,
         "q75_bool_expr": q_bool_expr,
+        "q76_date_facet": q_date_facet,
+        "q77_diversified_topk": q_diversified_topk,
     }
 
 
@@ -4435,4 +4621,6 @@ def oracle_sql() -> dict:
         "q73_term_vectors": SQL_TERM_VECTORS,
         "q74_rescore": SQL_RESCORE,
         "q75_bool_expr": SQL_BOOL_EXPR,
+        "q76_date_facet": SQL_DATE_FACET,
+        "q77_diversified_topk": SQL_DIVERSIFIED_TOPK,
     }

@@ -653,6 +653,34 @@ def facet_by_domain(ranked: DataFrame) -> DataFrame:
     return facet_counts(ranked, dims, ["domain"])
 
 
+def facet_date_histogram(scored: DataFrame, dims: DataFrame,
+                         ts_col: str = "warc_ts",
+                         granularity: str = "month") -> DataFrame:
+    """Date-histogram aggregation over a search's MATCH SET — the
+    Elasticsearch ``date_histogram`` attached to a query ("when was
+    this topic crawled/published?").  Unlike ``facet_counts`` (which
+    summarizes a <=k ranked page), a histogram is only meaningful over
+    every hit, so ``scored`` is the full (doc_id, score) candidate
+    frame from ``_scored_candidates``/WAND-without-cut, and the plan is
+    one broadcast-free hash agg keyed on the derived bucket: the
+    dimension join shuffles doc_id once, the agg is partial+final, and
+    the bucket count (months/weeks in the crawl window) is tiny so the
+    result collects safely at any corpus scale.
+
+    ``dims`` carries (doc_id, ``ts_col``: timestamp/date).  Returns one
+    row per bucket: ``bucket`` ('yyyy-MM'-style string, sortable),
+    ``n_docs``, ``avg_score``, ``top_score``."""
+    fmt = {"year": "yyyy", "month": "yyyy-MM", "week": "yyyy-MM-dd",
+           "day": "yyyy-MM-dd"}[granularity]
+    bucket = F.date_format(F.date_trunc(granularity, F.col(ts_col)), fmt)
+    joined = dims.select("doc_id", bucket.alias("bucket")).join(
+        scored.select("doc_id", "score"), "doc_id")
+    return joined.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.round(F.max("score"), 6).alias("top_score"))
+
+
 def _scored_candidates(postings: DataFrame, dictionary: DataFrame,
                        query: str, n_docs: int, avgdl: float,
                        bm25: BM25Config = BM25Config(),
@@ -856,12 +884,16 @@ def collapse_by_domain(postings: DataFrame, dictionary: DataFrame,
                        weighted: bool = False,
                        pre_parsed: tuple | None = None,
                        idf_cache: dict | None = None,
-                       exclude_ids=None) -> DataFrame:
+                       exclude_ids=None,
+                       per_domain: int = 1) -> DataFrame:
     """Field-collapsed top-k (Elasticsearch ``collapse`` / the classic
-    web-search "one result per site" clustering): the BEST-scoring doc
-    per url host, then the top ``k`` hosts by that doc's score.
+    web-search "one result per site" clustering): the BEST-scoring
+    ``per_domain`` docs per url host, then the top ``k`` rows overall.
+    ``per_domain=1`` (default) is strict collapse — one row per host;
+    ``per_domain>1`` is diversified top-k (the "at most two results per
+    site" SERP rule): duplicates-by-host are capped, not eliminated.
     Returns TOPK (rank, doc_id, url, score) — ``rank`` is the page
-    position, one row per domain.
+    position.
 
     Collapse runs over the FULL scored candidate set, not a pre-cut
     page: cutting to k docs first could hand the whole page to one
@@ -869,7 +901,7 @@ def collapse_by_domain(postings: DataFrame, dictionary: DataFrame,
     backfill-before-cut rule tombstones and NOT-terms follow).  Plan:
     the shared exhaustive scoring core -> docs join for the url ->
     per-domain rank window HASH-PARTITIONED on domain (a domain's
-    candidates co-locate; never a single global window) -> rn=1 ->
+    candidates co-locate; never a single global window) -> rn<=cap ->
     TakeOrderedAndProject k."""
     scores = _scored_candidates(postings, dictionary, query, n_docs,
                                 avgdl, bm25, weighted, pre_parsed,
@@ -886,7 +918,7 @@ def collapse_by_domain(postings: DataFrame, dictionary: DataFrame,
         cand.withColumn("_rn", F.row_number().over(
             Window.partitionBy("domain").orderBy(
                 F.col("score").desc(), F.col("doc_id").asc())))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= int(per_domain))
     )
     topk = best.orderBy(
         F.col("score").desc(), F.col("doc_id").asc()).limit(k)

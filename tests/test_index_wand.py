@@ -895,6 +895,85 @@ def test_collapse_by_domain_matches_bruteforce(built, index_df):
         "machine AND zzzymissing", built.n_docs, built.avgdl).count() == 0
 
 
+def test_collapse_per_domain_cap_matches_bruteforce(built, index_df):
+    """Diversified top-k (per_domain=2): the best TWO docs per host,
+    ranked — equals the brute-force cap over a deep exhaustive run, and
+    per_domain=1 stays bit-identical to strict collapse."""
+    import re
+    from collections import Counter
+
+    from ir_index_construction_spark.plans.query import (
+        bm25_topk_exhaustive, collapse_by_domain)
+
+    q, cap, k = "machine learning", 2, 10
+    deep = bm25_topk_exhaustive(
+        built.postings, built.dictionary, built.docs, q,
+        built.n_docs, built.avgdl, k=10_000).orderBy("rank").collect()
+    seen: Counter = Counter()
+    kept = []
+    for r in deep:                          # deep is (score desc, id asc)
+        dom = re.match(r"^[a-z][a-z0-9+.-]*://([^/?#]+)", r["url"]).group(1)
+        seen[dom] += 1
+        if seen[dom] <= cap:
+            kept.append(r)
+    want = kept[:k]
+    got = collapse_by_domain(
+        built.postings, built.dictionary, built.docs, q,
+        built.n_docs, built.avgdl, k=k, per_domain=cap) \
+        .orderBy("rank").collect()
+    assert [(r["doc_id"], r["url"], r["score"]) for r in got] \
+        == [(r["doc_id"], r["url"], r["score"]) for r in want]
+    doms = Counter(
+        re.match(r"^[a-z][a-z0-9+.-]*://([^/?#]+)", r["url"]).group(1)
+        for r in got)
+    assert max(doms.values()) <= cap
+    # default cap=1 unchanged == strict collapse
+    strict = collapse_by_domain(
+        built.postings, built.dictionary, built.docs, q,
+        built.n_docs, built.avgdl, k=k).orderBy("rank").collect()
+    one = collapse_by_domain(
+        built.postings, built.dictionary, built.docs, q,
+        built.n_docs, built.avgdl, k=k, per_domain=1) \
+        .orderBy("rank").collect()
+    assert strict == one
+
+
+def test_facet_date_histogram_matches_manual(built, index_df, spark):
+    """facet_date_histogram over the full match set == bucketing the
+    same scored docs per month in plain Python (count/avg/max)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from ir_index_construction_spark.plans.query import (
+        bm25_topk_exhaustive, facet_date_histogram)
+
+    scored = bm25_topk_exhaustive(
+        built.postings, built.dictionary, built.docs, "machine learning",
+        built.n_docs, built.avgdl, k=10_000)
+    dims = built.docs.select(
+        "doc_id",
+        F.date_add(F.to_date(F.lit("2024-01-01")),
+                   (F.col("doc_id") % 365).cast("int")).alias("warc_ts"))
+    rows = scored.collect()
+    assert rows
+    dates = {r["doc_id"]: r["warc_ts"] for r in dims.collect()}
+    buckets: dict = defaultdict(list)
+    for r in rows:
+        d = dates[r["doc_id"]]
+        buckets[f"{d.year:04d}-{d.month:02d}"].append(r["score"])
+    want = {b: (len(v), round(sum(v) / len(v), 6), round(max(v), 6))
+            for b, v in buckets.items()}
+    got = {r["bucket"]: (r["n_docs"], r["avg_score"], r["top_score"])
+           for r in facet_date_histogram(
+               scored, dims, ts_col="warc_ts").collect()}
+    assert set(got) == set(want)
+    for b in want:
+        assert got[b][0] == want[b][0], b
+        assert got[b][1] == pytest.approx(want[b][1], abs=2e-6), b
+        assert got[b][2] == pytest.approx(want[b][2], abs=2e-6), b
+
+
 def test_synonym_expansion_equals_widened_query(built, index_df):
     """Synonym expansion is exactly a widened OR query: expanding
     'machine' with synonym 'learn' must rank bit-identically to the

@@ -31,7 +31,8 @@ in:title), more-like-this (--mode mlt, query is a doc_id), related
 terms (--mode related, PMI partners), search-after deep pagination
 (--after SCORE:DOC_ID, the last row of the previous page), a per-term
 score breakdown (--explain DOC_ID, the Lucene Explanation analogue),
-field collapsing (--collapse, one best result per url host), general
+field collapsing (--collapse [CAP], at most CAP results per url
+host — CAP=1 strict collapse, CAP>1 diversified top-k), general
 wildcards (--mode wildcard, auto-selected for single tokens carrying
 '*'/'?' — leading '*er' and infix 'm?chine' shapes; trailing-* stays on
 the prefix plan), LM-Dirichlet ranking (--scorer lm, mu=2000 query
@@ -121,7 +122,7 @@ class QueryService:
 
     def run(self, query: str, k: int, mode: str, weighted: bool,
             zone: str | None = None, after: tuple | None = None,
-            collapse: bool = False, synonyms: dict | None = None,
+            collapse: int = 0, synonyms: dict | None = None,
             min_match: int | None = None, scorer: str = "bm25",
             rescore: int | None = None, rescore_weight: float = 2.0):
         from ir_index_construction_spark.operators.topk import wand_topk
@@ -164,14 +165,16 @@ class QueryService:
                 query, f["n_docs"], f["avgdl"], first_n=rescore, k=k,
                 weight=rescore_weight, idf_cache=idf_cache,
                 exclude_ids=f["exclude_ids"])
-        # --collapse = one best result per url host ("one result per
-        # site"); runs over the FULL scored candidate set on the
-        # exhaustive plan — a pre-cut page could under-fill
+        # --collapse [CAP] = at most CAP results per url host (CAP=1
+        # is strict "one result per site" collapsing, CAP>1 the
+        # diversified SERP rule); runs over the FULL scored candidate
+        # set on the exhaustive plan — a pre-cut page could under-fill
         if collapse:
             return collapse_by_domain(
                 f["postings"], f["dictionary"], f["docs"], query,
                 f["n_docs"], f["avgdl"], k=k, weighted=weighted,
-                idf_cache=idf_cache, exclude_ids=f["exclude_ids"])
+                idf_cache=idf_cache, exclude_ids=f["exclude_ids"],
+                per_domain=int(collapse))
         # --zone TAG = fielded search: only matches whose zone
         # importance reaches the tag's weight qualify (in:title etc.).
         # Routes through the exhaustive plan — the compressed index's
@@ -478,9 +481,11 @@ def main():
                     help="minimum_should_match: OR-mode queries keep only "
                          "docs matching at least M distinct query terms "
                          "(runs on the exhaustive plan)")
-    ap.add_argument("--collapse", action="store_true",
-                    help="field collapsing: one best result per url "
-                         "host (runs on the exhaustive plan)")
+    ap.add_argument("--collapse", nargs="?", const=1, default=0,
+                    type=int, metavar="CAP",
+                    help="field collapsing: at most CAP results per url "
+                         "host, default 1 = one per site (runs on the "
+                         "exhaustive plan)")
     ap.add_argument("--explain", default=None, type=int, metavar="DOC_ID",
                     help="print the per-term BM25 score breakdown for "
                          "this doc under --query instead of searching")
