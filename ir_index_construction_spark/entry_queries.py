@@ -19,6 +19,8 @@ ground truth is the pure-Python oracle exercised in tests/.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
@@ -4461,6 +4463,166 @@ ORDER BY rank
 """
 
 
+# ---------------------------------------------------------------------------
+# recency-decayed ranking (q78): Elasticsearch ``function_score``
+# exponential date decay, multiply mode — fresh pages outrank stale
+# ones at equal relevance.  The decay applies over the FULL match set
+# BEFORE the top-k cut (a pre-cut page could be all stale docs).
+# Engine tier: plans/query.recency_boosted_topk; the decay constant
+# ln(0.5)/half_life is computed once in Python and embedded as the
+# same double literal in the SQL twin, so exp() sees bit-identical
+# inputs on both engines.  Crawl dates are synthesized from doc_id
+# (same convention as q76); urls from source+doc_id (q02 convention).
+# ---------------------------------------------------------------------------
+
+RECENCY_TERMS = ("data", "index")
+RECENCY_ORIGIN, RECENCY_HL = "2025-01-01", 60.0
+_RECENCY_LAM = math.log(0.5) / RECENCY_HL
+
+
+def q_recency_topk(spark, sf_dir):
+    from .plans.query import recency_boosted_topk
+
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs)
+    n_docs = docs.count()
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = toks.count() / n_docs
+    dictionary = postings.groupBy("term").agg(F.count("*").alias("df"))
+    terms = spark.createDataFrame([(t,) for t in RECENCY_TERMS],
+                                  "term string")
+    tdf = dictionary.join(F.broadcast(terms), "term").withColumn(
+        "idf", F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                     / (F.col("df") + 0.5) + 1.0))
+    matches = (
+        postings.join(F.broadcast(tdf.select("term", "idf")), "term")
+        .join(dl, "doc_id")
+    )
+    w = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                   + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+    )
+    scores = matches.groupBy("doc_id").agg(
+        F.round(F.sum(F.col("idf") * w), 6).alias("score"))
+    dims = docs.select(
+        "doc_id",
+        F.date_add(F.to_date(F.lit("2024-01-01")),
+                   (F.col("doc_id") % 365).cast("int")).alias("crawl_date"))
+    docs_url = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    return recency_boosted_topk(scores, dims, docs_url, k=10,
+                                ts_col="crawl_date",
+                                origin=RECENCY_ORIGIN,
+                                half_life_days=RECENCY_HL)
+
+
+SQL_RECENCY_TOPK = f"""
+WITH {SQL_TOKS},
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks2 GROUP BY 1),
+consts AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT count(*) FROM toks2)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+q AS (
+    SELECT d.term, ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+    FROM dict d, consts c
+    WHERE d.term IN {tuple(RECENCY_TERMS)!r}
+),
+scores AS (
+    SELECT p.doc_id,
+           round(sum(q.idf * ((p.tf * {K1 + 1.0}) /
+                 (p.tf + {K1} * ({1.0 - B} + {B} * (dl.dl / c.avgdl))))), 6)
+               AS score
+    FROM postings p
+    JOIN q ON p.term = q.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    CROSS JOIN consts c
+    GROUP BY p.doc_id
+),
+aged AS (
+    SELECT s.doc_id,
+           'https://' || d.source || '/doc/' || d.doc_id::VARCHAR AS url,
+           round(s.score, 6) AS base_score,
+           greatest(0, date_diff('day',
+                 DATE '2024-01-01' + (d.doc_id % 365)::INT,
+                 DATE '{RECENCY_ORIGIN}'))::INT AS age_days,
+           round(s.score * exp({_RECENCY_LAM!r} * greatest(0,
+                 date_diff('day', DATE '2024-01-01' + (d.doc_id % 365)::INT,
+                           DATE '{RECENCY_ORIGIN}'))), 6) AS score
+    FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+),
+page AS (
+    SELECT * FROM aged ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, url, base_score, age_days, score
+FROM page
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# percolator / reverse search (q79): match documents against a registry
+# of STANDING queries (Elasticsearch percolate / Lucene Monitor — the
+# saved-search alerting shape).  The registry broadcasts and prunes the
+# token stream map-side; the one shuffle is the (query_id, doc_id)
+# distinct-term count agg.  Engine tier: operators/percolate.py (the
+# stemmed path is pytest-checked against the engine index; this entry
+# runs the unstemmed SQL-parity tier through the same operator).
+# ---------------------------------------------------------------------------
+
+PERCOLATE_QUERIES = {
+    "alert_pipeline": "data stream",        # OR: any term triggers
+    "alert_build": "index AND merge",       # AND: all terms required
+    "alert_perf": "query optimizer",        # OR
+}
+
+
+def q_percolate(spark, sf_dir):
+    from .operators.percolate import percolate, register_queries
+
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs)
+    registry = register_queries(spark, PERCOLATE_QUERIES, stem=False)
+    return percolate(toks, registry)
+
+
+def _percolate_values() -> str:
+    rows = []
+    for qid, qtext in sorted(PERCOLATE_QUERIES.items()):
+        words = qtext.split()
+        is_bool = "AND" in words
+        terms = sorted({w.lower() for w in words if w != "AND"})
+        for t in terms:
+            rows.append(f"('{qid}', '{t}', {len(terms)}, {str(is_bool).lower()})")
+    return ", ".join(rows)
+
+
+SQL_PERCOLATE = f"""
+WITH {SQL_TOKS},
+registry(query_id, term, n_terms, is_bool) AS (
+    VALUES {_percolate_values()}
+),
+hits AS (
+    SELECT r.query_id, t.doc_id,
+           count(DISTINCT t.term)::INT AS n_matched,
+           any_value(r.n_terms) AS need,
+           any_value(r.is_bool) AS isb
+    FROM toks2 t JOIN registry r ON t.term = r.term
+    GROUP BY 1, 2
+)
+SELECT query_id, doc_id, n_matched
+FROM hits
+WHERE (NOT isb) OR n_matched = need
+"""
+
+
 def queries() -> dict:
     return {
         "q01_scan_filter": q_scan_filter,
@@ -4540,6 +4702,8 @@ def queries() -> dict:
         "q75_bool_expr": q_bool_expr,
         "q76_date_facet": q_date_facet,
         "q77_diversified_topk": q_diversified_topk,
+        "q78_recency_topk": q_recency_topk,
+        "q79_percolate": q_percolate,
     }
 
 
@@ -4623,4 +4787,6 @@ def oracle_sql() -> dict:
         "q75_bool_expr": SQL_BOOL_EXPR,
         "q76_date_facet": SQL_DATE_FACET,
         "q77_diversified_topk": SQL_DIVERSIFIED_TOPK,
+        "q78_recency_topk": SQL_RECENCY_TOPK,
+        "q79_percolate": SQL_PERCOLATE,
     }

@@ -681,6 +681,58 @@ def facet_date_histogram(scored: DataFrame, dims: DataFrame,
         F.round(F.max("score"), 6).alias("top_score"))
 
 
+def recency_boosted_topk(scored: DataFrame, dims: DataFrame,
+                         docs: DataFrame, k: int = 10,
+                         ts_col: str = "warc_ts",
+                         origin: str = "2025-01-01",
+                         half_life_days: float = 90.0) -> DataFrame:
+    """Recency-decayed ranking — the Elasticsearch ``function_score``
+    exponential date decay (multiply mode): fresh pages outrank stale
+    ones at equal relevance.  ``final = base * 0.5^(age/half_life)``
+    with ``age = max(0, days(origin - date))`` — a doc exactly
+    ``half_life_days`` old keeps half its BM25 score, future-dated docs
+    decay nothing.
+
+    ``scored`` is the FULL (doc_id, score) candidate frame from
+    ``_scored_candidates`` — the decay must apply before the cut (a
+    pre-cut page could consist entirely of stale docs that fresh
+    lower-BM25 docs now outrank; same backfill-before-cut rule as
+    tombstones/NOT/collapse).  Plan: one doc_id-keyed dimension join
+    (dims is data-sized, so this shuffles once), decay arithmetic
+    JVM-side, TakeOrderedAndProject k on the boosted score, broadcast
+    url back-join, rank window over <=k rows.
+
+    The decay constant ``ln(0.5)/half_life`` is computed driver-side in
+    Python so an oracle embedding the same literal reproduces the exact
+    double.  Returns (rank, doc_id, url, base_score, age_days, score)
+    — ``score`` is the boosted value the page is ranked by, base/age
+    kept so the decay itself is checkable."""
+    lam = math.log(0.5) / float(half_life_days)
+    aged = scored.select("doc_id", "score").join(
+        dims.select(
+            "doc_id",
+            F.greatest(
+                F.lit(0),
+                F.datediff(F.to_date(F.lit(origin)), F.col(ts_col)),
+            ).cast("int").alias("age_days")),
+        "doc_id")
+    boosted = aged.select(
+        "doc_id",
+        F.round("score", 6).alias("base_score"),
+        "age_days",
+        F.round(F.col("score") * F.exp(F.lit(lam) * F.col("age_days")), 6)
+        .alias("_final"))
+    topk = boosted.orderBy(
+        F.col("_final").desc(), F.col("doc_id").asc()).limit(k)
+    ranked = docs.join(F.broadcast(topk), "doc_id", "inner").withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("_final").desc(), F.col("doc_id").asc())
+        ).cast("long"))
+    return ranked.select("rank", "doc_id", "url", "base_score",
+                         "age_days", F.col("_final").alias("score"))
+
+
 def _scored_candidates(postings: DataFrame, dictionary: DataFrame,
                        query: str, n_docs: int, avgdl: float,
                        bm25: BM25Config = BM25Config(),

@@ -974,6 +974,53 @@ def test_facet_date_histogram_matches_manual(built, index_df, spark):
         assert got[b][2] == pytest.approx(want[b][2], abs=2e-6), b
 
 
+def test_recency_boosted_topk_matches_bruteforce(built, index_df):
+    """function_score date decay: engine page == brute-force python
+    decay over the full match set; decay applies BEFORE the cut."""
+    import datetime
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ir_index_construction_spark.plans.query import (
+        bm25_topk_exhaustive, recency_boosted_topk)
+
+    origin, hl = "2025-01-01", 45.0
+    lam = math.log(0.5) / hl
+    deep = bm25_topk_exhaustive(
+        built.postings, built.dictionary, built.docs, "machine learning",
+        built.n_docs, built.avgdl, k=10_000).orderBy("rank").collect()
+    assert len(deep) > 10
+    o = datetime.date(2025, 1, 1)
+    base = datetime.date(2024, 1, 1)
+    want = []
+    for r in deep:
+        d = base + datetime.timedelta(days=r["doc_id"] % 365)
+        age = max(0, (o - d).days)
+        want.append((r["doc_id"], r["url"], round(r["score"], 6), age,
+                     round(r["score"] * math.exp(lam * age), 6)))
+    want.sort(key=lambda t: (-t[4], t[0]))
+    want = want[:10]
+
+    dims = built.docs.select(
+        "doc_id",
+        F.date_add(F.to_date(F.lit("2024-01-01")),
+                   (F.col("doc_id") % 365).cast("int")).alias("warc_ts"))
+    scored = bm25_topk_exhaustive(
+        built.postings, built.dictionary, built.docs, "machine learning",
+        built.n_docs, built.avgdl, k=10_000).select("doc_id", "score")
+    got = recency_boosted_topk(
+        scored, dims, built.docs, k=10, ts_col="warc_ts",
+        origin=origin, half_life_days=hl).orderBy("rank").collect()
+    assert [(r["doc_id"], r["url"], r["base_score"], r["age_days"],
+             r["score"]) for r in got] == want
+    assert [r["rank"] for r in got] == list(range(1, 11))
+    # the decay must actually reorder: the boosted page differs from
+    # the plain-BM25 page (the fixture spreads ages over a full year)
+    plain = [r["doc_id"] for r in deep[:10]]
+    assert [r["doc_id"] for r in got] != plain
+
+
 def test_synonym_expansion_equals_widened_query(built, index_df):
     """Synonym expansion is exactly a widened OR query: expanding
     'machine' with synonym 'learn' must rank bit-identically to the
