@@ -3882,8 +3882,16 @@ def q_wildcard_search(spark, sf_dir):
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     avgdl = toks.count() / n_docs
     dictionary = postings.groupBy("term").agg(F.count("*").alias("df"))
+    # the reversed-dictionary expansion shape (plans/rank.py
+    # reversed_dictionary): '*er' becomes StartsWith('re') on rterm —
+    # on the catalog's persisted rterm-sorted table this prunes row
+    # groups; here the projection is in-memory so the result (not the
+    # pushdown) is what the oracle checks
+    rdict = dictionary.select(
+        F.reverse(F.col("term")).alias("rterm"), "term", "df")
     expansion = (
-        dictionary.filter(F.col("term").endswith(W_SUFFIX))
+        rdict.filter(F.col("rterm").startswith(W_SUFFIX[::-1]))
+        .select("term", "df")
         .orderBy(F.col("df").desc(), F.col("term").asc())
         .limit(W_MAX_EXP)
         .withColumn("idf", F.log(

@@ -183,17 +183,29 @@ class IndexBuilder:
         t0 = time.time()
         postings = self.catalog.read(spark, "postings")
         docs = self.catalog.read(spark, "docs")
-        dictionary = dictionary_table(postings)
-        txn = self.catalog.transaction()
-        txn.write(dictionary, "dictionary")
-        stats = docs.agg(
-            F.count("*").alias("n_docs"),
-            F.coalesce(F.avg("doc_len"), F.lit(0.0)).alias("avgdl"),
-        ).withColumn("n_terms", F.lit(None).cast("long"))
-        n_terms = dictionary.count()
-        stats = stats.withColumn("n_terms", F.lit(n_terms))
-        txn.write(stats, "stats")
-        self._commit(txn, spark, "stats", 0, 0, n_terms, time.time() - t0)
+        # persisted: the same agg feeds the dictionary write, the
+        # reversed projection, and the n_terms count below
+        dictionary = dictionary_table(postings).persist()
+        try:
+            txn = self.catalog.transaction()
+            txn.write(dictionary, "dictionary")
+            # reversed projection, rterm-sorted: leading wildcards prune
+            # the vocabulary scan like a prefix query (plans/rank.py
+            # rdictionary_table).  Same transaction — a catalog never
+            # exposes a dictionary without its reversed twin.
+            from .rank import rdictionary_table
+            txn.write(rdictionary_table(dictionary), "rdictionary")
+            stats = docs.agg(
+                F.count("*").alias("n_docs"),
+                F.coalesce(F.avg("doc_len"), F.lit(0.0)).alias("avgdl"),
+            ).withColumn("n_terms", F.lit(None).cast("long"))
+            n_terms = dictionary.count()
+            stats = stats.withColumn("n_terms", F.lit(n_terms))
+            txn.write(stats, "stats")
+            self._commit(txn, spark, "stats", 0, 0, n_terms,
+                         time.time() - t0)
+        finally:
+            dictionary.unpersist()
 
     def _stage_encode(self, spark: SparkSession):
         cfg = self.cfg.index

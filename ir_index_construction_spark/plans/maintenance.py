@@ -183,8 +183,18 @@ def reindex(spark: SparkSession, catalog: Catalog,
     index = build_compressed_index(postings, avgdl, bm25, index_cfg)
     txn = catalog.transaction()
     txn.write(index, "index")
-    txn.write(dictionary_table(postings), "dictionary")
-    txn.commit()
+    dictionary = dictionary_table(postings).persist()
+    try:
+        txn.write(dictionary, "dictionary")
+        # the reversed projection collapses from per-segment delta rows
+        # back to one row per term in the same transaction (plans/rank.py
+        # rdictionary_table) — wildcard expansion and idf lookups reset
+        # together, exactly like a Lucene segment merge
+        from .rank import rdictionary_table
+        txn.write(rdictionary_table(dictionary), "rdictionary")
+        txn.commit()
+    finally:
+        dictionary.unpersist()
     # shard range only known after the index materialized: record the
     # merged segment in a follow-up commit (readers between the two
     # commits see a correct index with a stale-but-admissible scale

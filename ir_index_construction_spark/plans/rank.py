@@ -68,6 +68,24 @@ def reversed_dictionary(dictionary: DataFrame) -> DataFrame:
         F.reverse(F.col("term")).alias("rterm"), "term", "df")
 
 
+def rdictionary_table(dictionary: DataFrame,
+                      n_files: int | None = None) -> DataFrame:
+    """The PERSISTED layout of the reversed dictionary: range-partitioned
+    and sorted by rterm, so the parquet files carry rterm min/max
+    row-group stats and a leading wildcard's reversed suffix prunes the
+    scan as a pushed StringStartsWith — the same physics the term-sorted
+    dictionary gives a trailing-* prefix query.  Written by the batch
+    builder's stats stage, segment-delta'd by the streaming index
+    maintainer, and rewritten by reindex (one projection of the
+    vocabulary-sized dictionary each time — negligible next to the
+    encode stage it rides along with)."""
+    spark = dictionary.sparkSession
+    n = n_files or max(1, spark.sparkContext.defaultParallelism // 4)
+    return (reversed_dictionary(dictionary)
+            .repartitionByRange(n, "rterm")
+            .sortWithinPartitions("rterm"))
+
+
 def expand_wildcard(dictionary: DataFrame, pattern: str,
                     max_expansions: int = 50,
                     cache: dict | None = None,

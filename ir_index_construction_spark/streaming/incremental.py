@@ -138,6 +138,19 @@ def _stage_index_segment(spark: SparkSession, catalog: Catalog, txn,
         doc_base=doc_base, shard_offset=next_shard)
     txn.append(seg_index, "index")
     txn.append(delta, "dictionary")
+    # reversed projection stays current in the SAME transaction (one
+    # delta-sized append per batch; expand_wildcard sums df per term
+    # across segment rows exactly as the dictionary's idf lookup does).
+    # A legacy catalog built before rdictionary existed gets a one-time
+    # full backfill so the reversed table is never a partial vocabulary.
+    from ..plans.rank import rdictionary_table
+    if (catalog.table_exists("dictionary")
+            and not catalog.table_exists("rdictionary")):
+        full = catalog.read(spark, "dictionary").select("term", "df") \
+            .unionByName(delta.select("term", "df"))
+        txn.write(rdictionary_table(full), "rdictionary")
+    else:
+        txn.append(rdictionary_table(delta), "rdictionary")
     txn.write(spark.createDataFrame(
         [(n_docs, avgdl, old_n_terms + n_new_terms)],
         "n_docs long, avgdl double, n_terms long"), "stats")

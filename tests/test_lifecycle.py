@@ -93,13 +93,27 @@ def test_full_lifecycle_composes(spark, tmp_path):
     # the drain is live: streamed phrase docs are served via segments
     assert any("stream.example.org" in u for _, u, _ in phrase0)
 
+    # -- leading wildcard on the shipped path: the catalog's persisted
+    # rdictionary (written by the build's stats stage, delta'd by the
+    # streamed segment commit in the same transactions) expands '*earn'
+    # identically to the endswith fallback, and the SAME QueryService
+    # serves it
+    from ir_index_construction_spark.plans.rank import expand_wildcard
+    assert cat.table_exists("rdictionary")
+    dic, rdic = cat.read(spark, "dictionary"), cat.read(spark, "rdictionary")
+    assert expand_wildcard(dic, "*earn", rdictionary=rdic) \
+        == expand_wildcard(dic, "*earn") != []
+    wild0 = run("*earn", "wildcard")
+    assert wild0
+
     # -- tombstone: the top wand doc and the top phrase doc disappear,
     # everything else keeps its EXACT score (masking, not re-scoring),
     # and the result backfills to k from the next-best live docs
     victims = sorted({wand0[0][1], phrase0[0][1]})
     assert tombstone_urls(spark, cat, victims) == len(victims)
     wand1, phrase1 = run(QUERY, "wand"), run(f'"{PHRASE}"', "phrase")
-    assert all(u not in victims for _, u, _ in wand1 + phrase1)
+    wild1 = run("*earn", "wildcard")
+    assert all(u not in victims for _, u, _ in wand1 + phrase1 + wild1)
     # WAND contract: masking, not re-scoring — survivors keep their
     # EXACT scores (term idf comes from the dictionary, untouched)
     wand0_scores = {u: s for _, u, s in wand0}
@@ -124,12 +138,18 @@ def test_full_lifecycle_composes(spark, tmp_path):
     # base segment + one streamed segment -> one merged away
     assert reindex(spark, cat, bm25=CFG.bm25, index_cfg=CFG.index) == 1
     assert (wand1, phrase1) == (run(QUERY, "wand"), run(f'"{PHRASE}"', "phrase"))
+    # reindex collapsed the rdictionary's per-segment delta rows back to
+    # one row per term, atomically with the dictionary it mirrors
+    assert cat.read(spark, "rdictionary").count() \
+        == cat.read(spark, "dictionary").count()
+    assert wild1 == run("*earn", "wildcard")
     assert purge_tombstones(spark, cat, bm25=CFG.bm25,
                             index_cfg=CFG.index) == len(victims)
     assert (wand1, phrase1) == (run(QUERY, "wand"), run(f'"{PHRASE}"', "phrase"))
     for t in ("postings", "docs", "index", "positions"):
         cat.compact(spark, t)
     assert (wand1, phrase1) == (run(QUERY, "wand"), run(f'"{PHRASE}"', "phrase"))
+    assert wild1 == run("*earn", "wildcard")
 
     # -- expiry + vacuum: bytes actually reclaimed, old time travel
     # errors CLEANLY, the current snapshot still serves
@@ -141,7 +161,7 @@ def test_full_lifecycle_composes(spark, tmp_path):
     before = table_bytes()
     removed = []
     for t in ("postings", "docs", "index", "positions", "dictionary",
-              "stats", "index_segments"):
+              "rdictionary", "stats", "index_segments"):
         cat.expire_snapshots(t, keep_last=1)
         removed += cat.vacuum(t, grace_seconds=0.0)
     assert removed and table_bytes() < before
@@ -177,3 +197,10 @@ def test_full_lifecycle_composes(spark, tmp_path):
     phrase2 = run(f'"{PHRASE}"', "phrase")
     assert any("/phrase/8" in u for _, u, _ in phrase2)   # new doc served
     assert all(u not in victims for _, u, _ in phrase2)   # erasure holds
+    # the second drain's segment delta'd the rdictionary too: the
+    # reversed projection still mirrors the dictionary term-for-term
+    dic2 = cat.read(spark, "dictionary")
+    rdic2 = cat.read(spark, "rdictionary")
+    assert rdic2.count() == dic2.count()
+    assert expand_wildcard(dic2, "*earn", rdictionary=rdic2) \
+        == expand_wildcard(dic2, "*earn")

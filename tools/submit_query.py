@@ -94,7 +94,10 @@ class QueryService:
                 "docs": self.cat.read(self.spark, "docs"),
                 "dictionary": self.cat.read(self.spark, "dictionary"),
             }
-            for t in ("index", "postings", "positions"):
+            # rdictionary: the rterm-sorted reversed projection written
+            # by build/reindex/segment commits — leading wildcards prune
+            # its scan instead of endswith-scanning the full vocabulary
+            for t in ("index", "postings", "positions", "rdictionary"):
                 if self.cat.table_exists(t):
                     self._f[t] = self.cat.read(self.spark, t)
             # tombstoned doc_ids (plans/maintenance.py): bounded by
@@ -264,7 +267,8 @@ class QueryService:
                                  exclude_ids=f["exclude_ids"],
                                  bound_scale=f["bound_scale"],
                                  expansion_cache=self._esc.for_snapshot(
-                                     self._catalog_id))
+                                     self._catalog_id),
+                                 rdictionary=f.get("rdictionary"))
         if mode == "regex" or slashed:
             from ir_index_construction_spark.plans.query import regex_topk
 
