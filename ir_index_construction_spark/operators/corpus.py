@@ -43,6 +43,24 @@ def defrag_and_filter(documents: DataFrame) -> DataFrame:
     )
 
 
+# url host extraction — the same expression collapse_by_domain keys on
+# (plans/query.py), so "source" means one thing engine-wide
+DOMAIN_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+
+
+def doc_meta_table(with_ids: DataFrame) -> DataFrame:
+    """doc_meta(doc_id, warc_ts, lang, source) — the crawl-metadata
+    sidecar of the docs table (schemas.DOC_META).  One projection of the
+    id-assigned corpus frame: source is the url host, derived JVM-side.
+    The metadata query family (filtered search, date facets, recency
+    decay) serves from this table instead of a caller-supplied dims
+    frame — a production engine answers "when was this topic crawled"
+    from its own catalog."""
+    return with_ids.select(
+        "doc_id", "warc_ts", "lang",
+        F.regexp_extract("url", DOMAIN_RE, 1).alias("source"))
+
+
 def clean_corpus(documents: DataFrame) -> DataFrame:
     """defrag + filter + window dedup (first occurrence per url by
     warc_ts).  Kept for incremental/streaming micro-batches where the

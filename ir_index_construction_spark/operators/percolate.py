@@ -49,8 +49,14 @@ def register_queries(spark: SparkSession, queries: dict,
         if stem:
             terms, is_bool = parse_query(qtext)
         else:
-            from ..text.normalize import query_normalize
-            terms = [w.lower() for w in query_normalize(qtext).split()]
+            # unstemmed tier: normalize punctuation with the SAME rule
+            # as the unstemmed document tokenizer (non-alnum -> space,
+            # then split) — query_normalize DELETES punctuation, which
+            # would turn 'data-stream' into the never-indexed token
+            # 'datastream' while the doc side indexes 'data','stream'
+            # (round-4 ADVICE)
+            import re
+            terms = re.sub(r"[^a-z0-9\s]", " ", qtext.lower()).split()
             is_bool = "AND" in qtext.split()
             if is_bool:
                 terms = [t for t in terms if t != "and"]

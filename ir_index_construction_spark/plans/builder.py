@@ -140,7 +140,11 @@ class IndexBuilder:
         prepared = with_ids.withColumn(
             "batch", (F.col("doc_id") / F.lit(batch_span)).cast("int"))
         txn = self.catalog.transaction()
-        txn.write(prepared.select("doc_id", "batch", "url", "html"),
+        # warc_ts/lang ride along so the tokenize stage can emit the
+        # doc_meta sidecar per batch (schemas.DOC_META) — two thin
+        # columns next to the html payload the checkpoint already holds
+        txn.write(prepared.select("doc_id", "batch", "url", "html",
+                                  "warc_ts", "lang"),
                   "corpus_prepared")
         handle.unpersist()
         self._commit(txn, spark, "prepare", 0, rows_in, n, time.time() - t0,
@@ -162,6 +166,15 @@ class IndexBuilder:
             txn = self.catalog.transaction()
             txn.append(postings, "postings")
             txn.append(docs, "docs")
+            if {"warc_ts", "lang"} <= set(part.columns):
+                # crawl-metadata sidecar, same transaction as its docs
+                # (semi-join restricts to the docs the tokenizer kept);
+                # column guard keeps resumes of pre-doc_meta checkpoints
+                # working — they just stay metadata-less
+                from ..operators.corpus import doc_meta_table
+                meta = doc_meta_table(part).join(
+                    docs.select("doc_id"), "doc_id", "left_semi")
+                txn.append(meta, "doc_meta")
             if self.cfg.positions:
                 # same transaction: a batch is never visible with postings
                 # but no positions.  Term-sorted files so the phrase scan's
@@ -290,8 +303,8 @@ class IndexBuilder:
     # ---- read side ----
     def tables(self, spark: SparkSession) -> dict:
         out = {}
-        for t in ("docs", "postings", "dictionary", "stats", "index",
-                  "index_segments", "positions",
+        for t in ("docs", "doc_meta", "postings", "dictionary", "stats",
+                  "index", "index_segments", "positions",
                   "checkpoints", "lineage", "metrics"):
             if self.catalog.table_exists(t):
                 out[t] = self.catalog.read(spark, t)

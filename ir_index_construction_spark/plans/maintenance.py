@@ -131,6 +131,10 @@ def purge_tombstones(spark: SparkSession, catalog: Catalog,
         # transaction — phrase queries and WAND never disagree on which
         # docs exist
         txn.write(_masked(spark, catalog, "positions"), "positions")
+    if catalog.table_exists("doc_meta"):
+        # the crawl-metadata sidecar purges with its docs: erasure
+        # removes the victim's timestamps/host too, not just its text
+        txn.write(_masked(spark, catalog, "doc_meta"), "doc_meta")
     txn.write(spark.createDataFrame([], TOMBSTONES), "doc_tombstones")
     if fault is not None:
         fault()

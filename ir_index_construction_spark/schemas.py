@@ -88,6 +88,18 @@ DICTIONARY = StructType([
     StructField("cf", LongType(), False),
 ])
 
+# Per-document crawl metadata (doc_id-keyed sidecar of DOCS): the
+# dimension table the metadata query family (filtered search, date
+# facets, recency decay) serves from — written by the build's tokenize
+# stage and each streaming micro-batch in the same transaction as docs,
+# purged with them.  ``source`` is the url host (the collapse key).
+DOC_META = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("warc_ts", TimestampType(), False),
+    StructField("lang", StringType(), True),
+    StructField("source", StringType(), True),
+])
+
 STATS = StructType([
     StructField("n_docs", LongType(), False),
     StructField("avgdl", DoubleType(), False),

@@ -214,6 +214,11 @@ def process_stream_batch(spark: SparkSession, catalog: Catalog,
         postings = postings_from_tokenized(tok)
         txn.append(postings, "postings")
         txn.append(docs, "docs")
+        # crawl-metadata sidecar (schemas.DOC_META), atomic with its
+        # docs — the metadata query family stays current per batch
+        from ..operators.corpus import doc_meta_table
+        txn.append(doc_meta_table(with_ids).join(
+            docs.select("doc_id"), "doc_id", "left_semi"), "doc_meta")
         if maintain_positions:
             txn.append(positions_from_tokenized(tok), "positions")
         txn.append_rows(spark, "stream_commits",

@@ -106,6 +106,25 @@ def test_full_lifecycle_composes(spark, tmp_path):
     wild0 = run("*earn", "wildcard")
     assert wild0
 
+    # -- metadata family served from the catalog's OWN doc_meta sidecar
+    # (warc_ts/lang/source written with docs by both the batch build and
+    # the streaming drain): filtered search, date facet, recency decay —
+    # no caller-supplied dims frame anywhere
+    assert cat.table_exists("doc_meta")
+    ids_of = lambda t: {r["doc_id"] for r in
+                        cat.read(spark, t).select("doc_id").collect()}
+    assert ids_of("doc_meta") == ids_of("docs")
+    rec0 = _key(svc.run(QUERY, 10, "wand", False, recency=45.0)
+                .orderBy("rank").collect())
+    assert rec0
+    facet0 = svc.run(QUERY, 10, "wand", False, date_facet="month") \
+        .orderBy("bucket").collect()
+    assert facet0 and all(r["n_docs"] > 0 for r in facet0)
+    flt = _key(svc.run(QUERY, 10, "exhaustive", False,
+                       meta_filter={"source": "stream.example.org"})
+               .orderBy("rank").collect())
+    assert flt and all("stream.example.org" in u for _, u, _ in flt)
+
     # -- tombstone: the top wand doc and the top phrase doc disappear,
     # everything else keeps its EXACT score (masking, not re-scoring),
     # and the result backfills to k from the next-best live docs
@@ -113,7 +132,10 @@ def test_full_lifecycle_composes(spark, tmp_path):
     assert tombstone_urls(spark, cat, victims) == len(victims)
     wand1, phrase1 = run(QUERY, "wand"), run(f'"{PHRASE}"', "phrase")
     wild1 = run("*earn", "wildcard")
-    assert all(u not in victims for _, u, _ in wand1 + phrase1 + wild1)
+    rec1 = _key(svc.run(QUERY, 10, "wand", False, recency=45.0)
+                .orderBy("rank").collect())
+    assert all(u not in victims
+               for _, u, _ in wand1 + phrase1 + wild1 + rec1)
     # WAND contract: masking, not re-scoring — survivors keep their
     # EXACT scores (term idf comes from the dictionary, untouched)
     wand0_scores = {u: s for _, u, s in wand0}
@@ -146,6 +168,11 @@ def test_full_lifecycle_composes(spark, tmp_path):
     assert purge_tombstones(spark, cat, bm25=CFG.bm25,
                             index_cfg=CFG.index) == len(victims)
     assert (wand1, phrase1) == (run(QUERY, "wand"), run(f'"{PHRASE}"', "phrase"))
+    # the purge rewrote doc_meta with its docs (victims' crawl metadata
+    # physically gone), and the recency ranking is purge-invariant
+    assert ids_of("doc_meta") == ids_of("docs")
+    assert rec1 == _key(svc.run(QUERY, 10, "wand", False, recency=45.0)
+                        .orderBy("rank").collect())
     for t in ("postings", "docs", "index", "positions"):
         cat.compact(spark, t)
     assert (wand1, phrase1) == (run(QUERY, "wand"), run(f'"{PHRASE}"', "phrase"))
@@ -197,6 +224,8 @@ def test_full_lifecycle_composes(spark, tmp_path):
     phrase2 = run(f'"{PHRASE}"', "phrase")
     assert any("/phrase/8" in u for _, u, _ in phrase2)   # new doc served
     assert all(u not in victims for _, u, _ in phrase2)   # erasure holds
+    # the second drain appended doc_meta atomically with its docs too
+    assert ids_of("doc_meta") == ids_of("docs")
     # the second drain's segment delta'd the rdictionary too: the
     # reversed projection still mirrors the dictionary term-for-term
     dic2 = cat.read(spark, "dictionary")

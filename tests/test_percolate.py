@@ -90,3 +90,52 @@ def test_percolate_streaming_alerting(built, spark, tmp_path):
     whole = {(r["query_id"], r["doc_id"], r["n_matched"])
              for r in percolate(terms, registry).collect()}
     assert streamed == whole
+
+
+def test_percolate_punctuated_registry_unstemmed(spark):
+    """Round-4 ADVICE: the unstemmed tier must normalize a standing
+    query's punctuation with the SAME rule as the document tokenizer
+    (non-alnum -> space), so 'data-stream' registers ('data','stream')
+    — not the never-indexed token 'datastream'."""
+    reg = register_queries(
+        spark, {"p": "data-stream", "q": "a.b AND c/d"}, stem=False)
+    rows = {(r["query_id"], r["term"], r["n_terms"], r["is_bool"])
+            for r in reg.collect()}
+    assert rows == {
+        ("p", "data", 2, False), ("p", "stream", 2, False),
+        ("q", "a", 4, True), ("q", "b", 4, True),
+        ("q", "c", 4, True), ("q", "d", 4, True),
+    }
+    docs = spark.createDataFrame(
+        [(1, "data"), (1, "stream"), (2, "datastream"),
+         (3, "a"), (3, "b"), (3, "c"), (3, "d"), (4, "a")],
+        "doc_id long, term string")
+    got = {(r["query_id"], r["doc_id"], r["n_matched"])
+           for r in percolate(docs, reg).collect()}
+    # the punctuated OR query fires on its split tokens, never on the
+    # concatenation; the punctuated AND needs all four split tokens
+    assert got == {("p", 1, 2), ("q", 3, 4)}
+
+
+def test_percolate_hot_key_registry(built, spark):
+    """Skew pin: ONE term shared by every standing query (the broadcast
+    join's hot key).  Every (query, doc) pair must still appear exactly
+    once with the right n_matched — the hash agg on (query_id, doc_id)
+    dedups the fanned-out hot-term rows, and an OR query sharing only
+    the hot term matches exactly the hot term's doc set."""
+    hot = "machin"                       # stemmed 'machine' — high df
+    reg_q = {f"hot{i:02d}": f"machine uniqword{i}" for i in range(25)}
+    registry = register_queries(spark, reg_q)
+    got = percolate(built.postings, registry)
+    rows = got.collect()
+    assert len(rows) == len({(r["query_id"], r["doc_id"]) for r in rows})
+    hot_docs = {r["doc_id"] for r in built.postings
+                .filter(built.postings.term == hot)
+                .select("doc_id").distinct().collect()}
+    per_q = defaultdict(set)
+    for r in rows:
+        per_q[r["query_id"]].add(r["doc_id"])
+        assert r["n_matched"] == 1       # uniqwords never occur in corpus
+    assert set(per_q) == set(reg_q)      # all 25 queries fire
+    for q, ds in per_q.items():
+        assert ds == hot_docs

@@ -96,8 +96,12 @@ class QueryService:
             }
             # rdictionary: the rterm-sorted reversed projection written
             # by build/reindex/segment commits — leading wildcards prune
-            # its scan instead of endswith-scanning the full vocabulary
-            for t in ("index", "postings", "positions", "rdictionary"):
+            # its scan instead of endswith-scanning the full vocabulary.
+            # doc_meta: the crawl-metadata sidecar (warc_ts/lang/source)
+            # the filtered/facet/recency modes serve from — the catalog
+            # is self-sufficient, no caller-supplied dims frame.
+            for t in ("index", "postings", "positions", "rdictionary",
+                      "doc_meta"):
                 if self.cat.table_exists(t):
                     self._f[t] = self.cat.read(self.spark, t)
             # tombstoned doc_ids (plans/maintenance.py): bounded by
@@ -127,13 +131,75 @@ class QueryService:
             zone: str | None = None, after: tuple | None = None,
             collapse: int = 0, synonyms: dict | None = None,
             min_match: int | None = None, scorer: str = "bm25",
-            rescore: int | None = None, rescore_weight: float = 2.0):
+            rescore: int | None = None, rescore_weight: float = 2.0,
+            meta_filter: dict | None = None,
+            date_facet: str | None = None,
+            recency: float | None = None,
+            recency_origin: str = "2025-01-01"):
+        from pyspark.sql import functions as F
+
         from ir_index_construction_spark.operators.topk import wand_topk
         from ir_index_construction_spark.plans.query import (
             bm25_topk_exhaustive, collapse_by_domain, fuzzy_topk,
             more_like_this, phrase_topk_indexed, prefix_topk)
 
         f, idf_cache = self._refresh()
+        # metadata query family (--filter / --facet-date / --recency):
+        # served from the catalog's own doc_meta sidecar (warc_ts/lang/
+        # source, written with docs at build + streaming, purged with
+        # them) — no caller-supplied dims frame
+        if (meta_filter or date_facet or recency is not None) \
+                and "doc_meta" not in f:
+            raise SystemExit(
+                "metadata queries need the doc_meta table: rebuild the "
+                "catalog (or drain one micro-batch) with a builder that "
+                "writes the crawl-metadata sidecar")
+        doc_filter = None
+        if meta_filter:
+            m = f["doc_meta"]
+            for key, val in meta_filter.items():
+                if key == "lang":
+                    m = m.filter(F.col("lang") == val)
+                elif key == "source":
+                    m = m.filter(F.col("source") == val)
+                elif key == "since":
+                    m = m.filter(
+                        F.col("warc_ts") >= F.lit(val).cast("timestamp"))
+                elif key == "until":
+                    m = m.filter(
+                        F.col("warc_ts") < F.lit(val).cast("timestamp"))
+                else:
+                    raise SystemExit(
+                        f"unknown --filter key {key!r} "
+                        "(lang / source / since / until)")
+            doc_filter = m.select("doc_id")
+        if date_facet is not None or recency is not None:
+            from ir_index_construction_spark.plans.query import (
+                _scored_candidates, empty_topk, facet_date_histogram,
+                recency_boosted_topk)
+
+            scored = _scored_candidates(
+                f["postings"], f["dictionary"], query, f["n_docs"],
+                f["avgdl"], weighted=weighted, idf_cache=idf_cache,
+                exclude_ids=f["exclude_ids"], doc_filter=doc_filter)
+            if date_facet is not None:
+                spark = self.spark
+                if scored is None:
+                    return spark.createDataFrame(
+                        [], "bucket string, n_docs long, "
+                            "avg_score double, top_score double")
+                return facet_date_histogram(scored, f["doc_meta"],
+                                            granularity=date_facet)
+            if scored is None:
+                return empty_topk(self.spark)
+            return recency_boosted_topk(
+                scored, f["doc_meta"], f["docs"], k=k,
+                origin=recency_origin, half_life_days=recency)
+        if doc_filter is not None and mode not in ("wand", "exhaustive"):
+            raise SystemExit(
+                "--filter applies to term queries (wand/exhaustive "
+                "modes) — it routes through the exhaustive plan's "
+                "doc_filter semi-join")
         # --scorer lm = LM-Dirichlet query likelihood instead of BM25
         # (plans/rank.lm_dirichlet_topk) on plain term queries.  T (total
         # collection tokens) is one dictionary agg, computed lazily and
@@ -366,11 +432,14 @@ class QueryService:
                 f["n_docs"], f["avgdl"], k=k, weighted=weighted,
                 pre_parsed=(terms, is_bool), idf_cache=idf_cache,
                 exclude_ids=f["exclude_ids"], negated=neg,
-                boosts=boosts, min_match=min_match)
+                boosts=boosts, min_match=min_match,
+                doc_filter=doc_filter)
         # --min-match routes to the exhaustive plan: which docs qualify
         # depends on their full term-match set, which WAND's pruning
-        # bound does not model (see bm25_topk_exhaustive docstring)
-        if mode == "wand" and min_match is None:
+        # bound does not model (see bm25_topk_exhaustive docstring).
+        # --filter likewise: the allowed-docs set is data-sized, so it
+        # stays a distributed semi-join on the exhaustive plan.
+        if mode == "wand" and min_match is None and doc_filter is None:
             return wand_topk(f["index"], f["dictionary"], f["docs"],
                              query, f["n_docs"], f["avgdl"], k=k,
                              weighted=weighted, idf_cache=idf_cache,
@@ -383,7 +452,8 @@ class QueryService:
                                     idf_cache=idf_cache, pre_parsed=pre,
                                     exclude_ids=f["exclude_ids"],
                                     after=after, boosts=boosts,
-                                    min_match=min_match)
+                                    min_match=min_match,
+                                    doc_filter=doc_filter)
 
     def explain(self, query: str, doc_id: int, weighted: bool = False):
         """Per-term BM25 breakdown for one (query, doc) pair — the
@@ -432,6 +502,11 @@ class QueryService:
 def print_results(rows):
     if not rows:
         print("  (no results)")
+        return
+    if "bucket" in rows[0].__fields__:         # date-facet schema
+        for r in rows:
+            print(f"  {r['bucket']:12} n={r['n_docs']:<7} "
+                  f"avg={r['avg_score']:.4f} top={r['top_score']:.4f}")
         return
     if "jlh" in rows[0].__fields__:            # significant-terms schema
         for r in rows:
@@ -485,8 +560,17 @@ def main():
                     help="minimum_should_match: OR-mode queries keep only "
                          "docs matching at least M distinct query terms "
                          "(runs on the exhaustive plan)")
+    def _collapse_cap(v):
+        # a degenerate CAP must error, not silently disable (0) or
+        # return an empty page (negative) — ADVICE r4
+        iv = int(v)
+        if iv < 1:
+            raise argparse.ArgumentTypeError(
+                f"--collapse CAP must be >= 1 (got {iv})")
+        return iv
+
     ap.add_argument("--collapse", nargs="?", const=1, default=0,
-                    type=int, metavar="CAP",
+                    type=_collapse_cap, metavar="CAP",
                     help="field collapsing: at most CAP results per url "
                          "host, default 1 = one per site (runs on the "
                          "exhaustive plan)")
@@ -517,7 +601,39 @@ def main():
     ap.add_argument("--batch", default=None, metavar="FILE",
                     help="file with one query per line, all evaluated in "
                          "a single Spark job (wand_topk_batch)")
+    ap.add_argument("--filter", action="append", default=None,
+                    metavar="KEY=VALUE", dest="meta_filter",
+                    help="metadata-filtered search over the catalog's "
+                         "doc_meta sidecar: lang=en, source=HOST, "
+                         "since=ISO_TS, until=ISO_TS (repeatable; ANDed; "
+                         "routes through the exhaustive plan's "
+                         "doc_filter semi-join)")
+    ap.add_argument("--facet-date", nargs="?", const="month",
+                    default=None, dest="date_facet",
+                    choices=["year", "month", "week", "day"],
+                    help="date-histogram facet of the query's FULL match "
+                         "set over doc_meta.warc_ts (Elasticsearch "
+                         "date_histogram); optional granularity, "
+                         "default month")
+    ap.add_argument("--recency", nargs="?", const=90.0, default=None,
+                    type=float, metavar="HALF_LIFE_DAYS",
+                    help="recency-decayed ranking: BM25 x "
+                         "0.5^(age/half_life) over doc_meta.warc_ts "
+                         "(Elasticsearch function_score date decay); "
+                         "default half-life 90 days")
+    ap.add_argument("--recency-origin", default="2025-01-01",
+                    dest="recency_origin", metavar="DATE",
+                    help="decay origin date for --recency (age counts "
+                         "back from this day)")
     args = ap.parse_args()
+    meta_filter = None
+    if args.meta_filter:
+        meta_filter = {}
+        for kv in args.meta_filter:
+            key, sep, val = kv.partition("=")
+            if not sep or not val:
+                raise SystemExit(f"--filter expects KEY=VALUE, got {kv!r}")
+            meta_filter[key] = val
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -566,7 +682,8 @@ def main():
 
     service = QueryService(spark, cat)
 
-    order_col = "pmi" if args.mode == "related" else "rank"
+    order_col = "pmi" if args.mode == "related" else (
+        "bucket" if args.date_facet else "rank")
 
     def maybe_suggest(query, rows):
         """searcher-page behavior: a zero-hit term query offers the
@@ -624,7 +741,11 @@ def main():
                           collapse=args.collapse, synonyms=synonyms,
                           min_match=args.min_match, scorer=args.scorer,
                           rescore=args.rescore,
-                          rescore_weight=args.rescore_weight)
+                          rescore_weight=args.rescore_weight,
+                          meta_filter=meta_filter,
+                          date_facet=args.date_facet,
+                          recency=args.recency,
+                          recency_origin=args.recency_origin)
         rows = out.orderBy(
             F.col(order_col).desc() if order_col == "pmi"
             else F.col(order_col).asc()).collect()
@@ -648,7 +769,11 @@ def main():
                            collapse=args.collapse, synonyms=synonyms,
                            min_match=args.min_match, scorer=args.scorer,
                            rescore=args.rescore,
-                           rescore_weight=args.rescore_weight) \
+                           rescore_weight=args.rescore_weight,
+                           meta_filter=meta_filter,
+                           date_facet=args.date_facet,
+                           recency=args.recency,
+                           recency_origin=args.recency_origin) \
             .orderBy(F.col(order_col).desc() if order_col == "pmi"
                      else F.col(order_col).asc()).collect()
         elapsed_ms = (time.time() - t0) * 1000.0
