@@ -161,13 +161,20 @@ def main():
     # least-interfered measurement of the engine itself
     op_reps = int(os.environ.get("SPARK_GRAFT_OP_REPS", "2"))
 
-    def timed(name, fn, reps=1):
-        # per-rep (wall, external_busy_cores) goes to extras["op_trace"]:
-        # when an op's number looks regressed, the trace says whether the
-        # engine or the hypervisor moved (same attribution the build and
-        # query phases already have)
-        best, out, trace = None, None, []
-        for _ in range(max(1, reps)):
+    def timed(name, fn, reps=1, quiet_cores=0.25, max_extra=3):
+        # per-rep (wall, external_busy_cores, steal_cores) goes to
+        # extras["op_trace"]: when an op's number looks regressed, the
+        # trace says whether the engine or the hypervisor moved (same
+        # attribution the build and query phases already have).
+        # ADAPTIVE (round-4 VERDICT #6: every bool_expr rep that round
+        # ran under 0.45-0.85 steal cores, the one headline without a
+        # clean-window number): if the SELECTED (fastest) rep still
+        # carried >= quiet_cores of co-tenant noise, keep re-running —
+        # bounded by max_extra — until a quiet rep lands or the budget
+        # is spent; the trace shows exactly which reps were noisy.
+        best, best_noise, out, trace = None, None, None, []
+        i = 0
+        while True:
             busy0, cpu0 = host_busy_sec(), proc_tree_cpu_sec()
             steal0, t0 = host_steal_sec(), time.time()
             out = fn()
@@ -177,9 +184,15 @@ def main():
             steal = (host_steal_sec() - steal0) / max(dt, 1e-9)
             # short ops can hit /proc/stat vs time.time() skew; a value
             # above the core count is a sampling artifact, not a signal
-            trace.append([round(dt, 3), round(min(ext, os.cpu_count()), 2),
-                          round(min(steal, os.cpu_count()), 2)])
-            best = dt if best is None else min(best, dt)
+            ext = min(ext, os.cpu_count())
+            steal = min(steal, os.cpu_count())
+            trace.append([round(dt, 3), round(ext, 2), round(steal, 2)])
+            if best is None or dt < best:
+                best, best_noise = dt, ext + steal
+            i += 1
+            if i >= max(1, reps) and (best_noise < quiet_cores
+                                      or i >= max(1, reps) + max_extra):
+                break
         timings[name] = round(best, 4)
         extras.setdefault("op_trace", {})[name] = trace
         return out
@@ -468,6 +481,28 @@ def main():
         _h.unpersist()
         extras["positions_build_sec"] = round(time.time() - t0, 4)
         extras["positions_rows"] = n_pos
+
+        # opt-in tables' on-disk footprint next to index_size_kb
+        # (round-4 VERDICT #7): the positional table is the big opt-in,
+        # the reversed dictionary the vocabulary-sized one.  Sized
+        # outside any timed phase, same method as index_size_kb.
+        from ir_index_construction_spark.plans.rank import (
+            rdictionary_table)
+
+        _sz = _tempfile.mkdtemp(prefix="bench_table_size_")
+        positions.write.mode("overwrite").parquet(f"{_sz}/positions")
+        rdictionary_table(built.dictionary).write.mode("overwrite") \
+            .parquet(f"{_sz}/rdictionary")
+
+        def _kb(path):
+            return round(sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path) for f in fs
+                if f.endswith(".parquet")) / 1024.0, 1)
+
+        extras["positions_size_kb"] = _kb(f"{_sz}/positions")
+        extras["rdictionary_size_kb"] = _kb(f"{_sz}/rdictionary")
+        _shutil.rmtree(_sz, ignore_errors=True)
 
         # steady-state latency: the df_cache (snapshot-bound phrase df_p
         # cache, plans/query.py) is seeded by the warmup pass exactly as

@@ -164,7 +164,15 @@ class IndexBuilder:
             postings = postings_from_tokenized(tok)
             docs = docs_table(tok)
             txn = self.catalog.transaction()
-            txn.append(postings, "postings")
+            # term-sorted postings files: every term-pruned scan (the
+            # exhaustive tier, explain, mlt, significant-terms) gets
+            # row-group pruning from its pushed In(term), not just a
+            # pushed-but-unprunable filter.  One range shuffle of the
+            # thin exploded rows per batch — the html never moves.
+            txn.append(postings.repartitionByRange(
+                max(1, spark.sparkContext.defaultParallelism // 4),
+                "term", "doc_id").sortWithinPartitions("term", "doc_id"),
+                "postings")
             txn.append(docs, "docs")
             if {"warc_ts", "lang"} <= set(part.columns):
                 # crawl-metadata sidecar, same transaction as its docs
@@ -201,7 +209,13 @@ class IndexBuilder:
         dictionary = dictionary_table(postings).persist()
         try:
             txn = self.catalog.transaction()
-            txn.write(dictionary, "dictionary")
+            # term-sorted files: prefix/regex/fuzzy expansions push
+            # StartsWith into this scan — sorted row groups make the
+            # pushed filter actually prune (TABLE_SORT contract,
+            # preserved by compaction)
+            n_files = max(1, spark.sparkContext.defaultParallelism // 4)
+            txn.write(dictionary.repartitionByRange(n_files, "term")
+                      .sortWithinPartitions("term"), "dictionary")
             # reversed projection, rterm-sorted: leading wildcards prune
             # the vocabulary scan like a prefix query (plans/rank.py
             # rdictionary_table).  Same transaction — a catalog never

@@ -116,21 +116,31 @@ def purge_tombstones(spark: SparkSession, catalog: Catalog,
     txn = catalog.transaction()
     txn.write(live_docs(spark, catalog), "docs")
     has_index = catalog.table_exists("index")
+    n_files = max(1, spark.sparkContext.defaultParallelism // 4)
     if catalog.table_exists("postings"):
         live_p = live_postings(spark, catalog)
-        txn.write(live_p, "postings")
+        # full rewrite anyway — re-establish the term-sorted layout
+        # (TABLE_SORT) so post-purge scans keep their row-group pruning
+        txn.write(live_p.repartitionByRange(n_files, "term", "doc_id")
+                  .sortWithinPartitions("term", "doc_id"), "postings")
         if has_index:
             from ..operators.compress import build_compressed_index
 
             stats = catalog.read(spark, "stats").collect()[0]
             avgdl = float(stats["avgdl"]) or 1.0
             txn.write(build_compressed_index(live_p, avgdl, bm25,
-                                             index_cfg), "index")
+                                             index_cfg)
+                      .repartitionByRange(n_files, "shard", "term",
+                                          "chunk")
+                      .sortWithinPartitions("shard", "term", "chunk"),
+                      "index")
     if catalog.table_exists("positions"):
         # positional index (BuildConfig.positions) purges in the same
         # transaction — phrase queries and WAND never disagree on which
-        # docs exist
-        txn.write(_masked(spark, catalog, "positions"), "positions")
+        # docs exist; rewrite keeps the term-sorted layout
+        txn.write(_masked(spark, catalog, "positions")
+                  .repartitionByRange(n_files, "term", "doc_id")
+                  .sortWithinPartitions("term", "doc_id"), "positions")
     if catalog.table_exists("doc_meta"):
         # the crawl-metadata sidecar purges with its docs: erasure
         # removes the victim's timestamps/host too, not just its text
@@ -186,10 +196,18 @@ def reindex(spark: SparkSession, catalog: Catalog,
     postings = catalog.read(spark, "postings")
     index = build_compressed_index(postings, avgdl, bm25, index_cfg)
     txn = catalog.transaction()
-    txn.write(index, "index")
+    # same (shard, term, chunk)-sorted layout the batch builder's encode
+    # stage writes (TABLE_SORT): WAND's pushed In(term) keeps pruning
+    # row groups after the merge
+    txn.write(index.repartitionByRange(
+        max(1, spark.sparkContext.defaultParallelism // 4),
+        "shard", "term", "chunk")
+        .sortWithinPartitions("shard", "term", "chunk"), "index")
     dictionary = dictionary_table(postings).persist()
     try:
-        txn.write(dictionary, "dictionary")
+        n_files = max(1, spark.sparkContext.defaultParallelism // 4)
+        txn.write(dictionary.repartitionByRange(n_files, "term")
+                  .sortWithinPartitions("term"), "dictionary")
         # the reversed projection collapses from per-segment delta rows
         # back to one row per term in the same transaction (plans/rank.py
         # rdictionary_table) — wildcard expansion and idf lookups reset

@@ -42,6 +42,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
+# Layout contracts: tables whose scan pruning depends on file-level
+# sort order (row-group min/max stats).  ``compact`` preserves these —
+# a round-robin repartition would silently turn every pruned scan into
+# a full scan after the first maintenance cycle.
+TABLE_SORT: dict = {
+    "index": ("shard", "term", "chunk"),
+    "postings": ("term", "doc_id"),
+    "positions": ("term", "doc_id"),
+    "dictionary": ("term",),
+    "rdictionary": ("rterm",),
+}
+
+
 class CommitConflict(RuntimeError):
     """A catalog/table version file already exists — a concurrent writer
     not holding the commit lock (or a crashed foreign writer) raced us.
@@ -420,7 +433,8 @@ class Catalog:
     # ---- snapshot maintenance (compact / expire / vacuum) ----
     def compact(self, spark: SparkSession, table: str,
                 target_file_bytes: int = 128 << 20,
-                snapshot: dict | None = None) -> dict:
+                snapshot: dict | None = None,
+                sort_cols: tuple | None = None) -> dict:
         """Rewrite the table's current snapshot into right-sized files
         and commit the rewrite as a ``compact`` operation — same rows,
         fewer files.  The streaming paths commit one file set per
@@ -443,7 +457,17 @@ class Catalog:
         total = sum(os.path.getsize(os.path.join(self._tdir(table), f))
                     for f in snap["files"])
         nfiles = max(1, -(-total // target_file_bytes))
-        df = self.read(spark, table, snap).repartition(nfiles)
+        df = self.read(spark, table, snap)
+        # preserve the table's layout contract (TABLE_SORT): pruned
+        # scans depend on file-level sort; a round-robin repartition
+        # would quietly defeat them after the first compaction
+        sort_cols = sort_cols if sort_cols is not None \
+            else TABLE_SORT.get(table)
+        if sort_cols and set(sort_cols) <= set(df.columns):
+            df = df.repartitionByRange(nfiles, *sort_cols) \
+                .sortWithinPartitions(*sort_cols)
+        else:
+            df = df.repartition(nfiles)
         files = self._materialize(df, table)
         with self._commit_lock():
             cat = self._catalog_current()

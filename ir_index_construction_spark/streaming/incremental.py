@@ -59,7 +59,8 @@ def _maybe_compact(spark: SparkSession, catalog: Catalog,
     AFTER the batch's exactly-once commit — compaction is pure rewrite,
     so a crash here loses no data (staged files are vacuumed later) and
     a concurrent writer landing mid-rewrite just skips this cycle."""
-    for table in ("postings", "docs", "positions"):
+    for table in ("postings", "docs", "positions", "doc_meta",
+                  "rdictionary"):
         snap = catalog.current_snapshot(table)
         if snap is not None and len(snap["files"]) > max_files:
             with contextlib.suppress(CommitConflict):
@@ -136,8 +137,17 @@ def _stage_index_segment(spark: SparkSession, catalog: Catalog, txn,
     seg_index = build_compressed_index(
         postings, avgdl, bm25, index_cfg,
         doc_base=doc_base, shard_offset=next_shard)
-    txn.append(seg_index, "index")
-    txn.append(delta, "dictionary")
+    # segment files sorted like the base build's encode output
+    # (TABLE_SORT) — WAND's In(term) prunes each segment's row groups
+    txn.append(seg_index.repartitionByRange(
+        max(1, spark.sparkContext.defaultParallelism // 8),
+        "shard", "term", "chunk")
+        .sortWithinPartitions("shard", "term", "chunk"), "index")
+    # delta sorted by term within its own files — per-file row-group
+    # pruning for expansions holds across segment appends too
+    txn.append(delta.repartitionByRange(
+        max(1, spark.sparkContext.defaultParallelism // 8), "term")
+        .sortWithinPartitions("term"), "dictionary")
     # reversed projection stays current in the SAME transaction (one
     # delta-sized append per batch; expand_wildcard sums df per term
     # across segment rows exactly as the dictionary's idf lookup does).
@@ -212,7 +222,12 @@ def process_stream_batch(spark: SparkSession, catalog: Catalog,
         now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
         txn = catalog.transaction()
         postings = postings_from_tokenized(tok)
-        txn.append(postings, "postings")
+        # term-sorted within the batch's own files (TABLE_SORT contract;
+        # same pruning rationale as the batch builder)
+        txn.append(postings.repartitionByRange(
+            max(1, spark.sparkContext.defaultParallelism // 8),
+            "term", "doc_id").sortWithinPartitions("term", "doc_id"),
+            "postings")
         txn.append(docs, "docs")
         # crawl-metadata sidecar (schemas.DOC_META), atomic with its
         # docs — the metadata query family stays current per batch

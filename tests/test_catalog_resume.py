@@ -424,3 +424,45 @@ def test_resumed_equals_single_shot(spark, documents_df, full_build, tmp_path):
         map(tuple, full_build["docs"].collect()))
     assert sorted(map(tuple, got["dictionary"].collect())) == sorted(
         map(tuple, full_build["dictionary"].collect()))
+
+
+def test_compact_preserves_sorted_layout(spark, tmp_path):
+    """TABLE_SORT contract (round 5): compacting a table whose scan
+    pruning depends on file-level sort (dictionary/rdictionary/
+    positions/postings/index) must keep it range-sorted — a round-robin
+    rewrite would quietly defeat every pushed StartsWith/In filter
+    after the first maintenance cycle.  Checked at the parquet level:
+    each output file internally sorted, file ranges pairwise disjoint."""
+    import os
+    import random
+
+    import pyarrow.parquet as pq
+
+    cat = Catalog(str(tmp_path / "cat"))
+    rng = random.Random(7)
+    terms = [f"t{i:04d}" for i in range(400)]
+    for _ in range(4):                      # unsorted per-commit appends
+        sample = rng.sample(terms, 100)
+        cat.append(spark.createDataFrame([(t, 1) for t in sample],
+                                         "term string, df long"),
+                   "dictionary")
+    rows_before = sorted((r["term"], r["df"]) for r in
+                         cat.read(spark, "dictionary").collect())
+
+    snap = cat.compact(spark, "dictionary", target_file_bytes=6000)
+    assert snap["operation"] == "compact"
+    ranges = []
+    for rel in snap["files"]:
+        col = pq.read_table(
+            os.path.join(cat._tdir("dictionary"), rel),
+            columns=["term"]).column("term").to_pylist()
+        if not col:
+            continue
+        assert col == sorted(col)           # sorted within the file
+        ranges.append((col[0], col[-1]))
+    assert len(ranges) >= 2                 # the check is non-vacuous
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo                     # files cover disjoint ranges
+    assert sorted((r["term"], r["df"]) for r in
+                  cat.read(spark, "dictionary").collect()) == rows_before

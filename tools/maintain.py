@@ -35,7 +35,12 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-DEFAULT_TABLES = ("postings", "docs", "index", "dictionary")
+# positions/doc_meta accrete one file set per streaming micro-batch and
+# rdictionary one delta per segment commit — they need compact/expire/
+# vacuum exactly like the big four (tables absent from a catalog are
+# skipped, so the default list is safe on any build profile)
+DEFAULT_TABLES = ("postings", "docs", "index", "dictionary",
+                  "rdictionary", "doc_meta", "positions")
 
 
 def main():
