@@ -158,12 +158,22 @@ def phrase_topk_batch(
     per-phrase cost that amortizes the scan and job floor exactly like
     wand_topk_batch does for term queries.
 
-    Two jobs for the whole set: (1) per-query matched-doc counts (df_p;
-    one row per query comes back to the driver, so idf is computed with
-    the same Python float ops as the single-phrase path — bit-identical
-    scores), (2) score + per-query rank window, hash-partitioned on
-    query_id.  The phrase->term map is broadcast; the positions scan is
-    pruned to the union of all phrases' terms."""
+    Two jobs for the whole set, ONE positional scan: job 1 materializes
+    the matched set (query_id, doc_id, ptf) into a MEMORY_AND_DISK
+    cache while collecting per-query matched-doc counts (df_p; one row
+    per query comes back to the driver, so idf is computed with the
+    same Python float ops as the single-phrase path — bit-identical
+    scores); job 2 scores + rank-windows FROM THE CACHE
+    (hash-partitioned on query_id), so the pruned positions scan and
+    the phrase match never run twice.  The matched set is bounded by
+    the workload's hit count (disk-backed if a common-word phrase blows
+    past storage memory) and is unpersisted before returning — the
+    final page (<= |queries| * k rows) is materialized here, which is
+    what lets the cache be released deterministically.  The
+    phrase->term map is broadcast; the positions scan is pruned to the
+    union of all phrases' terms."""
+    from pyspark import StorageLevel
+
     from ..operators.phrase import phrase_match_batch
 
     spark = positions.sparkSession
@@ -180,33 +190,40 @@ def phrase_topk_batch(
         positions = positions.join(F.broadcast(dead), "doc_id", "left_anti")
     occ = phrase_match_batch(positions, parsed,
                              pos_col="positions", plural=True)
-    dfp = {r["query_id"]: r["df_p"] for r in
-           occ.groupBy("query_id").agg(F.count("*").alias("df_p")).collect()}
-    if not dfp:
-        return spark.createDataFrame([], out_schema)
-    idf_df = F.broadcast(spark.createDataFrame(
-        [(qid, math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
-         for qid, df in dfp.items()],
-        "query_id string, idf double"))
-    k1, b = bm25.k1, bm25.b
-    w = (F.col("ptf") * F.lit(k1 + 1.0)) / (
-        F.col("ptf")
-        + F.lit(k1) * (F.lit(1.0 - b)
-                       + F.lit(b) * (F.col("doc_len") / F.lit(avgdl)))
-    )
-    scored = (
-        occ.join(idf_df, "query_id")
-        .join(docs.select("doc_id", "url", "doc_len"), "doc_id")
-        .select("query_id", "doc_id", "url", "ptf",
-                (F.col("idf") * w).alias("score"))
-    )
-    win = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(win).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "doc_id", "url", "ptf", "score")
-    )
+    occ = occ.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        dfp = {r["query_id"]: r["df_p"] for r in
+               occ.groupBy("query_id")
+               .agg(F.count("*").alias("df_p")).collect()}
+        if not dfp:
+            return spark.createDataFrame([], out_schema)
+        idf_df = F.broadcast(spark.createDataFrame(
+            [(qid, math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+             for qid, df in dfp.items()],
+            "query_id string, idf double"))
+        k1, b = bm25.k1, bm25.b
+        w = (F.col("ptf") * F.lit(k1 + 1.0)) / (
+            F.col("ptf")
+            + F.lit(k1) * (F.lit(1.0 - b)
+                           + F.lit(b) * (F.col("doc_len") / F.lit(avgdl)))
+        )
+        scored = (
+            occ.join(idf_df, "query_id")
+            .join(docs.select("doc_id", "url", "doc_len"), "doc_id")
+            .select("query_id", "doc_id", "url", "ptf",
+                    (F.col("idf") * w).alias("score"))
+        )
+        win = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc())
+        page = (
+            scored.withColumn("rank", F.row_number().over(win).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "url", "ptf", "score")
+            .collect()
+        )
+    finally:
+        occ.unpersist()
+    return spark.createDataFrame(page, out_schema)
 
 
 def query_term_idf(spark: SparkSession, dictionary: DataFrame, terms,
