@@ -295,6 +295,24 @@ def test_phrase_df_cache_identical_results(spark, pos_build):
     assert 0 in cache.values()          # the ghost phrase cached as absent
 
 
+def test_phrase_batch_releases_its_cache(spark, pos_build):
+    """phrase_topk_batch persists the matched set between its two jobs
+    (one positional scan for the whole workload) and must UNPERSIST it
+    before returning — a long-lived query service calling it per
+    workload must not accumulate cached blocks.  getPersistentRDDs is
+    the ground truth the executor storage UI reads."""
+    from ir_index_construction_spark.plans.query import phrase_topk_batch
+
+    positions, docs, n_docs, avgdl = _phrase_frames(spark, pos_build)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    got = phrase_topk_batch(positions, docs,
+                            {f"p{i}": q for i, q in enumerate(PHRASES)},
+                            n_docs, avgdl, k=5).collect()
+    assert got                                     # real work happened
+    assert jsc.getPersistentRDDs().size() == before
+
+
 def test_phrase_batch_respects_exclusions(spark, pos_build):
     from ir_index_construction_spark.plans.query import phrase_topk_batch
 
