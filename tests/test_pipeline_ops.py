@@ -541,6 +541,42 @@ def test_bucket_pandas_bit_identical_to_literal_expr(spark):
     assert got_lit == got_pdu
 
 
+def test_cosine_and_ivf_pandas_bit_identical_to_fold(spark):
+    """Round-6 optimization: the Arrow/pandas fast paths for cosine and
+    for the IVF anchor-dot argmax (guide §4.2 — the literal aggregate
+    folds are CodegenFallback, interpreted per element) must be
+    BIT-identical to the fold expressions: same component-at-a-time
+    float64 accumulation, array_position's first-match == the CASE
+    chain's first-index-wins tie rule.  dim 256 so both operators route
+    through the pandas path a real embedding column takes."""
+    import ir_index_construction_spark.operators.similarity as sim
+
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((300, 256)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[5]]
+
+    lit = {r["vec_id"]: r["cosine"] for r in sim.with_cosine(
+        df, "embedding", q, use_pandas=False).collect()}
+    pdu = {r["vec_id"]: r["cosine"] for r in sim.with_cosine(
+        df, "embedding", q, use_pandas=True).collect()}
+    assert lit == pdu                       # exact doubles, not approx
+
+    assert 256 * len(sim.random_anchors(256, 8)) > sim.LITERAL_FOLD_BUDGET
+    orig = sim.LITERAL_FOLD_BUDGET
+    try:
+        sim.LITERAL_FOLD_BUDGET = 10 ** 9   # force the CASE-chain path
+        old = [tuple(r) for r in sim.ivf_topk(
+            df, "vec_id", "embedding", q, k=7).collect()]
+    finally:
+        sim.LITERAL_FOLD_BUDGET = orig
+    new = [tuple(r) for r in sim.ivf_topk(
+        df, "vec_id", "embedding", q, k=7).collect()]
+    assert old == new and len(new) > 0
+
+
 def test_kmeans_clamps_k_and_uniform_sample(emb_df):
     """k larger than the sample must clamp (not raise from rng.choice),
     and the seeded-hash-rank sample is deterministic across calls."""
