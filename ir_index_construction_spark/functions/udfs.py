@@ -30,7 +30,7 @@ _URL_PARTS = StructType([
 
 
 @pandas_udf(_URL_PARTS)
-def url_parts_udf(urls: pd.Series) -> pd.DataFrame:
+def _url_parts(urls: pd.Series) -> pd.DataFrame:
     """Defrag + parse in one Arrow pass.  urlunparse NORMALIZES, so this is
     deliberately not a regex strip — byte-identity with the reference's
     defrag_url (indexer.py:95-107) requires urllib round-tripping."""
@@ -41,6 +41,18 @@ def url_parts_udf(urls: pd.Series) -> pd.DataFrame:
         out_scheme.append(p.scheme)
         out_path.append(p.path.lower())
     return pd.DataFrame({"url": out_url, "scheme": out_scheme, "path": out_path})
+
+
+# marked non-deterministic as an OPTIMIZER FENCE, not because it is
+# (it's a pure function): defrag_and_filter filters on fields of the
+# UDF's struct, and the optimizer pushes that filter below the
+# projection by RE-EVALUATING the UDF — the executed plan carried TWO
+# ArrowEvalPython nodes for one call (guide §4.4's exact pattern,
+# confirmed in explain), so every scan parsed every url twice in
+# Python.  asNondeterministic() forbids the duplication: one
+# ArrowEvalPython, filter above it, identical rows.  Nothing else is
+# lost — these scans have no other pushable predicates below the UDF.
+url_parts_udf = _url_parts.asNondeterministic()
 
 
 @pandas_udf(StringType())

@@ -20,6 +20,7 @@ partition ever reaches the driver.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
@@ -134,10 +135,47 @@ def dedup_assign_ids(df: DataFrame, sort_cols: list | None = None,
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     key_cols = sort_cols[:2]
-    rows = part.groupBy("_pid").agg(
-        F.countDistinct("url").alias("n"),
-        F.count("*").alias("n_rows"),
-        F.countDistinct(*key_cols).alias("n_keys"),
+
+    # per-partition counts WITHOUT a shuffle (round 6, guide §2.4): the
+    # partition is already sorted by sort_cols, so equal urls — and
+    # equal (url, warc_ts) keys — are adjacent, and "distinct" is a
+    # boundary count over one Arrow pass.  The former
+    # groupBy(_pid).agg(countDistinct(url), countDistinct(url, warc_ts))
+    # planned an Expand (x3 row streams) feeding a full exchange; this
+    # map-only pass also materializes the persisted `part` as a side
+    # effect, exactly like the old counting job did.
+    key2 = key_cols[1] if len(key_cols) > 1 else None
+
+    def part_counts(batches):
+        pid = None
+        n_rows = n_urls = n_keys = 0
+        last_url = last_k2 = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            urls = pdf["url"].to_numpy()
+            n_rows += len(pdf)
+            url_new = np.empty(len(pdf), bool)
+            url_new[0] = (last_url is None) or (urls[0] != last_url)
+            url_new[1:] = urls[1:] != urls[:-1]
+            n_urls += int(url_new.sum())
+            if key2 is None:
+                n_keys = n_urls
+            else:
+                k2 = pdf[key2].to_numpy()
+                key_new = url_new.copy()
+                key_new[0] = key_new[0] or (k2[0] != last_k2)
+                key_new[1:] |= k2[1:] != k2[:-1]
+                n_keys += int(key_new.sum())
+                last_k2 = k2[-1]
+            last_url = urls[-1]
+        if pid is not None:
+            yield pd.DataFrame({"_pid": [pid], "n": [n_urls],
+                                "n_rows": [n_rows], "n_keys": [n_keys]})
+
+    rows = part.select("_pid", *key_cols).mapInPandas(
+        part_counts, schema="_pid int, n long, n_rows long, n_keys long"
     ).collect()
     counts = {r["_pid"]: r["n"] for r in rows}
     if stats_out is not None:

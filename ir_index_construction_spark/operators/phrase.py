@@ -139,7 +139,18 @@ def phrase_match_batch(positions: DataFrame, phrases: dict,
     ALL of q's offsets.  One pruned scan serves every phrase; the only
     wide exchanges are the two hash aggs, keyed on (qid, doc, start)
     then (qid, doc) — both partial-agg'd map-side.  The term->(qid,
-    offset) map is broadcast (bounded by total workload terms)."""
+    offset) map is broadcast (bounded by total workload terms).
+
+    The per-start offset count is a plain count(*) (round 6): the
+    grouped rows (qid, doc, offset, start) are UNIQUE by construction —
+    the positions table holds one row per (term, doc) per snapshot
+    (each doc is tokenized in exactly one batch/build commit, and
+    compaction rewrites rows unchanged), position ordinals are distinct
+    within a doc, and each (qid, offset) names one term — so
+    countDistinct(offset) == count(*), and dropping the distinct drops
+    the extra exchange its two-level aggregate plans as (guide §2.4;
+    the invariant is pinned by the segment-append identity test in
+    tests/test_phrase.py)."""
     spark = positions.sparkSession
     qmap = [(qid, t, i) for qid, terms in phrases.items()
             for i, t in enumerate(terms)]
@@ -157,10 +168,10 @@ def phrase_match_batch(positions: DataFrame, phrases: dict,
         j = j.select("query_id", "doc_id", "offset",
                      F.col(pos_col).alias("p"))
     starts = (
-        j.select("query_id", "doc_id", "offset",
+        j.select("query_id", "doc_id",
                  (F.col("p") - F.col("offset")).alias("start"))
         .groupBy("query_id", "doc_id", "start")
-        .agg(F.countDistinct("offset").alias("_no"))
+        .agg(F.count("*").alias("_no"))
         .join(m_df, "query_id")
         .filter(F.col("_no") == F.col("m"))
     )

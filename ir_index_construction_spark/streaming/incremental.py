@@ -121,7 +121,12 @@ def _stage_index_segment(spark: SparkSession, catalog: Catalog, txn,
         F.coalesce(F.avg("doc_len"), F.lit(0.0)).alias("avgdl")).collect()[0]
     n_docs, avgdl = int(merged["n_docs"]), float(merged["avgdl"])
 
-    delta = dictionary_table(postings)
+    # persisted: the delta feeds FOUR consumers (new-term count, the
+    # dictionary append, the reversed projection, a possible backfill),
+    # and each txn.append materializes immediately — without the cache
+    # the explode+agg subtree re-runs per consumer (round 6, guide §5)
+    from pyspark import StorageLevel
+    delta = dictionary_table(postings).persist(StorageLevel.MEMORY_AND_DISK)
     new_terms = delta.select("term")
     old_n_docs, old_n_terms = 0, 0
     if catalog.table_exists("stats"):
@@ -138,32 +143,45 @@ def _stage_index_segment(spark: SparkSession, catalog: Catalog, txn,
         postings, avgdl, bm25, index_cfg,
         doc_base=doc_base, shard_offset=next_shard)
     # segment files sorted like the base build's encode output
-    # (TABLE_SORT) — WAND's In(term) prunes each segment's row groups
-    txn.append(seg_index.repartitionByRange(
-        max(1, spark.sparkContext.defaultParallelism // 8),
-        "shard", "term", "chunk")
-        .sortWithinPartitions("shard", "term", "chunk"), "index")
+    # (TABLE_SORT) — WAND's In(term) prunes each segment's row groups.
+    # Round 6 (VERDICT #1, guide §2.4): sortWithinPartitions ONLY — the
+    # former per-batch repartitionByRange paid a range-sampling pass
+    # that RE-EXECUTED the whole two-stage encode plus a full shuffle,
+    # for a property (globally disjoint file ranges) that row-group
+    # pruning does not need: the In(term)/StartsWith pushdowns prune on
+    # per-file row-group min/max stats, which file-internal sort alone
+    # provides; compaction re-establishes disjoint global ranges later
+    # (sources/catalog.py compact, TABLE_SORT).  Partition count is the
+    # AQE-coalesced encode output — size-adaptive, so a small batch
+    # writes few files and a backlog drain writes many.
+    txn.append(seg_index.sortWithinPartitions("shard", "term", "chunk"),
+               "index")
     # delta sorted by term within its own files — per-file row-group
-    # pruning for expansions holds across segment appends too
-    txn.append(delta.repartitionByRange(
-        max(1, spark.sparkContext.defaultParallelism // 8), "term")
+    # pruning for expansions holds across segment appends too (same
+    # sortWithinPartitions-only rationale; the delta is cached, so the
+    # coalesce pass is a cache read)
+    txn.append(delta.coalesce(
+        max(1, spark.sparkContext.defaultParallelism // 8))
         .sortWithinPartitions("term"), "dictionary")
     # reversed projection stays current in the SAME transaction (one
     # delta-sized append per batch; expand_wildcard sums df per term
     # across segment rows exactly as the dictionary's idf lookup does).
     # A legacy catalog built before rdictionary existed gets a one-time
     # full backfill so the reversed table is never a partial vocabulary.
-    from ..plans.rank import rdictionary_table
+    from ..plans.rank import rdictionary_table, reversed_dictionary
     if (catalog.table_exists("dictionary")
             and not catalog.table_exists("rdictionary")):
         full = catalog.read(spark, "dictionary").select("term", "df") \
             .unionByName(delta.select("term", "df"))
         txn.write(rdictionary_table(full), "rdictionary")
     else:
-        txn.append(rdictionary_table(delta), "rdictionary")
+        txn.append(reversed_dictionary(delta).coalesce(
+            max(1, spark.sparkContext.defaultParallelism // 8))
+            .sortWithinPartitions("rterm"), "rdictionary")
     txn.write(spark.createDataFrame(
         [(n_docs, avgdl, old_n_terms + n_new_terms)],
         "n_docs long, avgdl double, n_terms long"), "stats")
+    delta.unpersist()
     max_shard = next_shard + max(0, (n_new - 1) // index_cfg.shard_size)
     now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
     txn.append_rows(spark, "index_segments", [
@@ -223,10 +241,18 @@ def process_stream_batch(spark: SparkSession, catalog: Catalog,
         txn = catalog.transaction()
         postings = postings_from_tokenized(tok)
         # term-sorted within the batch's own files (TABLE_SORT contract;
-        # same pruning rationale as the batch builder)
-        txn.append(postings.repartitionByRange(
-            max(1, spark.sparkContext.defaultParallelism // 8),
-            "term", "doc_id").sortWithinPartitions("term", "doc_id"),
+        # same pruning rationale as the batch builder).  Round 6
+        # (VERDICT #1, guide §2.4): coalesce + sortWithinPartitions
+        # instead of repartitionByRange — the range write paid a
+        # sampling pass plus a full shuffle of the exploded postings
+        # per micro-batch, and row-group pruning only needs the
+        # file-INTERNAL sort (per-file min/max stats); compaction
+        # re-establishes disjoint global ranges later.  The explode
+        # reads the cached tokenized batch, so the coalesced single
+        # pass is cheap.
+        txn.append(postings.coalesce(
+            max(1, spark.sparkContext.defaultParallelism // 8))
+            .sortWithinPartitions("term", "doc_id"),
             "postings")
         txn.append(docs, "docs")
         # crawl-metadata sidecar (schemas.DOC_META), atomic with its

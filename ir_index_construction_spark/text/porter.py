@@ -297,17 +297,30 @@ class PorterStemmer:
         return stem(word)
 
 
+# worker-global stem memo (round 6, guide §4.5): stem() is a pure
+# string -> string function, so its memo never invalidates and can be
+# shared by every task a reused Python worker runs (this module is
+# importable on executors, so the global survives across tasks; with
+# per-task dicts each of a build's ~64 tokenize tasks re-stemmed the
+# whole Zipf head from scratch).  Capped so a pathological vocabulary
+# cannot grow the worker's RSS unboundedly (~1M entries ≈ tens of MB;
+# real web vocabularies per worker are far below it).
+_STEM_MEMO: dict[str, str] = {}
+_STEM_MEMO_CAP = 1 << 20
+
+
 def make_cached_stemmer():
-    """Return a memoizing stem function. Web text is Zipf-distributed, so a
-    per-batch dict cache turns most stems into a dict hit; used inside the
-    Arrow-batched tokenizer UDF."""
-    cache: dict[str, str] = {}
+    """Return a memoizing stem function backed by the worker-global
+    memo. Web text is Zipf-distributed, so nearly every call is a dict
+    hit; used inside the Arrow-batched tokenizer UDF."""
+    cache = _STEM_MEMO
 
     def cached(word: str) -> str:
         hit = cache.get(word)
         if hit is None:
             hit = stem(word)
-            cache[word] = hit
+            if len(cache) < _STEM_MEMO_CAP:
+                cache[word] = hit
         return hit
 
     return cached

@@ -463,6 +463,57 @@ def test_batch_matcher_equals_array_matcher(spark, pos_build):
         assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), qid
 
 
+def test_batch_matcher_exact_over_segment_appends(spark, tmp_path):
+    """Round 6: phrase_match_batch counts offsets per start with a plain
+    count(*) instead of countDistinct, which is exact iff (term, doc_id)
+    rows stay UNIQUE across per-batch segment appends (each doc is
+    tokenized in exactly one commit).  Pin that invariant end-to-end:
+    stream TWO micro-batches into a cold catalog with positional
+    maintenance, then assert the relational batch matcher still equals
+    the set-semantics array matcher for every phrase — a duplicated
+    (term, doc_id) row would inflate count(*) and break the equality."""
+    import datetime as dt
+
+    from ir_index_construction_spark.operators.phrase import (
+        phrase_match, phrase_match_batch)
+    from ir_index_construction_spark.sources.catalog import Catalog
+    from ir_index_construction_spark.streaming import (
+        incremental_index_update)
+
+    cat = Catalog(str(tmp_path / "cat"))
+    rows = [
+        ("https://seg.example.org/a", "alpha beta gamma alpha beta"),
+        ("https://seg.example.org/b", "beta gamma delta beta gamma"),
+        ("https://seg.example.org/c", "alpha beta alpha beta gamma"),
+        ("https://seg.example.org/d", "gamma alpha beta delta"),
+    ]
+    inp = tmp_path / "in"
+    inp.mkdir()
+    for batch_no, chunk in enumerate((rows[:2], rows[2:])):
+        spark.createDataFrame(
+            [{"url": u, "warc_ts": dt.datetime(2024, 6, 1 + batch_no),
+              "html": f"<html><body>{t}</body></html>".encode(),
+              "text": None, "lang": "en"} for u, t in chunk],
+            DOCUMENTS).write.mode("overwrite").parquet(
+            str(inp / f"b{batch_no}.parquet"))
+        incremental_index_update(spark, cat, str(inp) + "/*",
+                                 str(tmp_path / "ckpt"),
+                                 maintain_positions=True)
+    positions = cat.read(spark, "positions")
+    # two commits landed, and no (term, doc_id) duplicates exist
+    dup = (positions.groupBy("term", "doc_id").count()
+           .filter(F.col("count") > 1).count())
+    assert dup == 0
+    phrases = {"p0": ["alpha", "beta"], "p1": ["beta", "gamma"],
+               "p2": ["alpha", "beta", "gamma"], "p3": ["gamma", "alpha"]}
+    batch = phrase_match_batch(positions, phrases,
+                               pos_col="positions", plural=True)
+    for qid, terms in phrases.items():
+        a = phrase_match(positions, terms, pos_col="positions", plural=True)
+        b = batch.filter(F.col("query_id") == qid).select("doc_id", "ptf")
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), qid
+
+
 def test_snippet_windows_accepts_doc_id_frame(spark):
     """The q58 search+highlight composition passes the top-k subplan as
     a DataFrame instead of a collected id list; both spellings of

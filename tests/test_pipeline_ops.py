@@ -648,6 +648,58 @@ def test_language_id(docs_df):
     assert got[4]["lang_pred"] == "de"
 
 
+def test_quality_arrow_stats_bit_identical_to_hof(spark):
+    """Round 6: quality_score's token-level counts moved from three
+    interpreted higher-order functions to one pyarrow pass
+    (_make_token_stats_udf).  Pin bit-identity against the original HOF
+    formulation — including null text (null stats), empty text,
+    whitespace-only text, and stopword/digit edge rows."""
+    from ir_index_construction_spark.operators.textstats import (
+        STOPWORDS_EN, _tok_col, quality_score)
+
+    rows = [(1, None), (2, ""), (3, "   "), (4, "the THE tHe a A 123"),
+            (5, "x" * 300), (6, "99999 2024 1e5 den"),
+            (7, "  leading and   trailing  "),
+            (8, "they them theater the"),
+            (9, "word " * 100 + "and")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    toks = F.filter(_tok_col("text"), lambda t: t != "")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    out = df.select(
+        F.col("doc_id").alias("id"), toks.alias("_t"),
+        F.length(F.col("text")).alias("_chars"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]"), 0))
+        .alias("_digits"),
+    ).withColumn("n_tokens", F.size("_t"))
+    out = out.withColumn(
+        "avg_token_len",
+        F.when(F.col("n_tokens") > 0,
+               F.aggregate("_t", F.lit(0), lambda a, t: a + F.length(t))
+               .cast("double") / F.col("n_tokens")).otherwise(F.lit(0.0)),
+    ).withColumn(
+        "stopword_ratio",
+        F.when(F.col("n_tokens") > 0,
+               F.size(F.filter("_t", lambda t: F.array_contains(sw, t)))
+               .cast("double") / F.col("n_tokens")).otherwise(F.lit(0.0)),
+    ).withColumn(
+        "digit_ratio",
+        F.when(F.col("_chars") > 0,
+               F.col("_digits").cast("double") / F.col("_chars"))
+        .otherwise(F.lit(0.0)),
+    )
+    q = (F.least(F.col("n_tokens").cast("double") / F.lit(64.0), F.lit(1.0))
+         * F.least(F.col("stopword_ratio") * F.lit(4.0), F.lit(1.0))
+         * (F.lit(1.0) - F.least(F.col("digit_ratio") * F.lit(2.0),
+                                 F.lit(1.0))))
+    want = {r["id"]: tuple(r) for r in out.select(
+        "id", "n_tokens", "avg_token_len", "stopword_ratio",
+        "digit_ratio", F.round(q, 6).alias("quality")).collect()}
+    got = {r["id"]: tuple(r) for r in quality_score(
+        df, "doc_id", "text").collect()}
+    assert got == want
+
+
 def test_quality_and_token_counts(docs_df):
     from ir_index_construction_spark.operators.textstats import (
         quality_score, token_counts)
