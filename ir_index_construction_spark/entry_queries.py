@@ -4656,7 +4656,43 @@ WHERE (NOT isb) OR n_matched = need
 
 
 def queries() -> dict:
+    # Registration order rotated in round 6 (VERDICT r5 item #2): the
+    # driver's correctness record holds at most 50 rows in registration
+    # order, so under q01-first ordering the q52-q79 search-language
+    # family could never earn a driver row.  q52-q79 register FIRST
+    # this round; q01-q22 still fit in the 50-row window behind them,
+    # and q24-q51 (all hash-green in CORRECTNESS_r05) stay covered by
+    # the driver-mirror gate (tools/check_oracle.py).  Nothing about
+    # any query's plan or oracle SQL changes — only dict order.
     return {
+        "q52_fuzzy_search": q_fuzzy_search,
+        "q53_more_like_this": q_more_like_this,
+        "q54_facet_counts": q_facet_counts,
+        "q55_related_terms": q_related_terms,
+        "q56_zone_search": q_zone_search,
+        "q57_spell_suggest": q_spell_suggest,
+        "q58_snippets": q_snippets,
+        "q59_search_after": q_search_after,
+        "q60_explain": q_explain,
+        "q61_collapse": q_collapse,
+        "q62_autocomplete": q_autocomplete,
+        "q63_synonym_search": q_synonym_search,
+        "q64_filtered_search": q_filtered_search,
+        "q65_mixed_search": q_mixed_search,
+        "q66_boosted_search": q_boosted_search,
+        "q67_min_match": q_min_match,
+        "q68_hybrid_rrf": q_hybrid_rrf,
+        "q69_significant_terms": q_significant_terms,
+        "q70_regex_search": q_regex_search,
+        "q71_wildcard_search": q_wildcard_search,
+        "q72_lm_dirichlet": q_lm_dirichlet,
+        "q73_term_vectors": q_term_vectors,
+        "q74_rescore": q_rescore,
+        "q75_bool_expr": q_bool_expr,
+        "q76_date_facet": q_date_facet,
+        "q77_diversified_topk": q_diversified_topk,
+        "q78_recency_topk": q_recency_topk,
+        "q79_percolate": q_percolate,
         "q01_scan_filter": q_scan_filter,
         "q02_url_defrag_valid": q_url_defrag_valid,
         "q03_dedup_first": q_dedup_first,
@@ -4711,34 +4747,6 @@ def queries() -> dict:
         "q49_phrase_batch": q_phrase_batch,
         "q50_prefix_search": q_prefix_search,
         "q51_not_query": q_not_query,
-        "q52_fuzzy_search": q_fuzzy_search,
-        "q53_more_like_this": q_more_like_this,
-        "q54_facet_counts": q_facet_counts,
-        "q55_related_terms": q_related_terms,
-        "q56_zone_search": q_zone_search,
-        "q57_spell_suggest": q_spell_suggest,
-        "q58_snippets": q_snippets,
-        "q59_search_after": q_search_after,
-        "q60_explain": q_explain,
-        "q61_collapse": q_collapse,
-        "q62_autocomplete": q_autocomplete,
-        "q63_synonym_search": q_synonym_search,
-        "q64_filtered_search": q_filtered_search,
-        "q65_mixed_search": q_mixed_search,
-        "q66_boosted_search": q_boosted_search,
-        "q67_min_match": q_min_match,
-        "q68_hybrid_rrf": q_hybrid_rrf,
-        "q69_significant_terms": q_significant_terms,
-        "q70_regex_search": q_regex_search,
-        "q71_wildcard_search": q_wildcard_search,
-        "q72_lm_dirichlet": q_lm_dirichlet,
-        "q73_term_vectors": q_term_vectors,
-        "q74_rescore": q_rescore,
-        "q75_bool_expr": q_bool_expr,
-        "q76_date_facet": q_date_facet,
-        "q77_diversified_topk": q_diversified_topk,
-        "q78_recency_topk": q_recency_topk,
-        "q79_percolate": q_percolate,
     }
 
 

@@ -33,6 +33,7 @@ from __future__ import annotations
 import os
 import random
 
+import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -321,10 +322,14 @@ def duplicate_clusters(pairs: DataFrame, id_a_col: str = "id_a",
         .distinct()
         .localCheckpoint(eager=True)      # materialized once, read every round
     )
+    # lazy checkpoint (round 6): the _sig() action right below both
+    # materializes the checkpoint and aggregates in ONE job — eager=True
+    # spent a separate job per checkpoint, doubling the driver's
+    # job-per-round overhead on what is usually a tiny label frame
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .select("id", F.col("id").alias("cluster_id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _sig(lab: DataFrame):
@@ -350,7 +355,7 @@ def duplicate_clusters(pairs: DataFrame, id_a_col: str = "id_a",
                     F.coalesce(F.col("_nmin"), labels["cluster_id"]),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)   # materialized by _sig below
         )
         new_sig = _sig(new_labels)
         labels = new_labels
@@ -386,27 +391,54 @@ def canonical_assignment(df: DataFrame, id_col: str,
 
 def simhash_64(df: DataFrame, id_col: str, text_col: str,
                n_bits: int = 60) -> DataFrame:
-    """(id, simhash BIGINT): sign-sum over token hash bits, vectorized as
-    n_bits native bit-test sums in one aggregation (no Python; max 60
+    """(id, simhash BIGINT): sign-sum over token hash bits (max 60
     bits — _hash64 yields 15 hex chars).  Tokens weighted by tf (each
-    occurrence votes)."""
+    occurrence votes).
+
+    Round 6 (guide §2.4/§4.2): the votes are a partition-LOCAL Arrow
+    pass, not a groupBy — `explode` is a narrow op, so every token row
+    of a doc stays contiguous inside its doc's partition and the per-id
+    sign-sums are complete without any exchange.  The former
+    formulation aggregated n_bits separate when()-sum columns through a
+    hash agg: 60 aggregation-buffer updates per token row plus a
+    shuffle, which was ~3x the cost of the scan+hash itself.  The hash
+    stays JVM-side (md5/conv measured cheap, and cross-engine parity
+    with the q14 oracle depends on it); numpy computes the identical
+    integer vote sums and the identical Σ 2^bit assembly, so outputs
+    are value-identical (pytest + oracle-pinned)."""
+    import pandas as pd
+
     toks = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    h = toks.withColumn("h", _hash64(F.col("tok"), 0))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"b{bit}")
-        for bit in range(n_bits)
-    ]
-    agg = h.groupBy("id").agg(*votes)
-    sim = sum(
-        F.when(F.col(f"b{bit}") > 0,
-               F.lit(1).cast("long") * F.lit(2 ** bit).cast("long"))
-        .otherwise(F.lit(0).cast("long"))
-        for bit in range(n_bits)
-    )
-    return agg.select("id", sim.alias("simhash"))
+    h = toks.select(F.col("id"), _hash64(F.col("tok"), 0).alias("h"))
+    shifts = np.arange(n_bits, dtype=np.uint64)
+    weights = (np.int64(1) << np.arange(n_bits, dtype=np.int64))
+
+    def votes(batches):
+        acc: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy()
+            hs = pdf["h"].to_numpy().astype(np.uint64)
+            bits = ((hs[:, None] >> shifts) & np.uint64(1)) \
+                .astype(np.int64) * 2 - 1
+            bounds = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+            starts = np.concatenate(([0], bounds))
+            sums = np.add.reduceat(bits, starts, axis=0)
+            for i, sid in enumerate(ids[starts]):
+                prev = acc.get(sid)
+                if prev is None:
+                    acc[sid] = sums[i]
+                else:
+                    prev += sums[i]
+        if acc:
+            V = np.stack(list(acc.values()))
+            sim = ((V > 0).astype(np.int64) * weights).sum(axis=1)
+            yield pd.DataFrame({"id": np.fromiter(acc, dtype=np.int64,
+                                                  count=len(acc)),
+                                "simhash": sim})
+
+    return h.mapInPandas(votes, schema="id long, simhash long")
