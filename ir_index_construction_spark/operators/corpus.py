@@ -220,6 +220,44 @@ def dedup_assign_ids(df: DataFrame, sort_cols: list | None = None,
     return part.mapInPandas(dedup_and_attach, schema=out_schema), handle
 
 
+def dedup_assign_ids_payload(cleaned: DataFrame,
+                             id_partitions: int | None = None) -> tuple:
+    """First-occurrence dedup + dense ids for a frame CARRYING the html
+    payload, without ever shuffling — or twice scanning — the payload on
+    the common path (round 6, guide §8 "decide with small rows, move big
+    rows once").
+
+    The direct ``dedup_assign_ids(cleaned, [url, warc_ts, html])`` pays
+    for its range exchange twice on the payload: the range partitioner's
+    sampling pass executes the full child (scan + url UDF, all columns)
+    once for bounds, then the exchange itself moves every page's html.
+    Instead: run the id machinery on the THIN (url, warc_ts) projection
+    (columnar scan skips html entirely; the projection is cached), then
+    attach ids by an inner join on (url, warc_ts) — Catalyst/AQE
+    broadcasts the thin side at small scale (html never shuffles) or
+    shuffle-joins at cluster scale (html moves exactly once, same as the
+    old exchange, but without the second scan).
+
+    Identical output: the join key (url, warc_ts) identifies the
+    survivor exactly when no two rows share it.  The thin pass measures
+    that for free (stats n_rows vs n_distinct_keys, same mechanism the
+    batch build uses); in the dirty-crawl case — rows with identical
+    (url, warc_ts) but different html — it falls back to the original
+    payload-sorted range pass, whose (url, warc_ts, html) sort order is
+    the documented deterministic-survivor contract.  Returns
+    (with_ids, handle) with the same schema/column order as the direct
+    call (join keys lead in both layouts)."""
+    stats: dict = {}
+    key_ids, handle = dedup_assign_ids(
+        cleaned.select("url", "warc_ts"), ["url", "warc_ts"],
+        id_partitions, stats_out=stats, cache_input=True)
+    if stats["n_rows"] > stats["n_distinct_keys"]:
+        handle.unpersist(blocking=True)         # rare dirty-data path
+        return dedup_assign_ids(cleaned, ["url", "warc_ts", "html"],
+                                id_partitions)
+    return cleaned.join(key_ids, ["url", "warc_ts"], "inner"), handle
+
+
 def ingest(documents: DataFrame, id_partitions: int | None = None) -> tuple:
     """Full O1-O5 chain over raw documents: defrag + filter + dedup +
     dense ids.  Returns (with_ids, persisted_handle).
@@ -227,7 +265,8 @@ def ingest(documents: DataFrame, id_partitions: int | None = None) -> tuple:
     Used by the resumable builder (which checkpoints the prepared corpus
     with html for per-batch re-tokenization).  The batch build uses the
     tokenize-first path in plans/build.py instead, which never shuffles
-    or caches html."""
+    or caches html; this path uses the thin-id-pass + key-join attach
+    (dedup_assign_ids_payload) so the html is read once and only
+    shuffles if the optimizer picks a shuffle join at scale."""
     cleaned = defrag_and_filter(documents)
-    return dedup_assign_ids(cleaned, ["url", "warc_ts", "html"],
-                            id_partitions)
+    return dedup_assign_ids_payload(cleaned, id_partitions)

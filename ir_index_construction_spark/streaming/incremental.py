@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import BM25Config, IndexConfig
 from ..operators.compress import build_compressed_index
-from ..operators.corpus import dedup_assign_ids, defrag_and_filter
+from ..operators.corpus import dedup_assign_ids_payload, defrag_and_filter
 from ..operators.postings import (dictionary_table, docs_table,
                                   positions_from_tokenized,
                                   postings_from_tokenized, tokenize)
@@ -224,11 +224,14 @@ def process_stream_batch(spark: SparkSession, catalog: Catalog,
         existing = live_docs(spark, catalog).select("url")
         cleaned = cleaned.join(existing, "url", "left_anti")
     base = BATCH_ID_BASE * (batch_id + 1)
-    # first-occurrence dedup + dense batch-local url rank in ONE
-    # range-partition shuffle (sort key (url, warc_ts, html) = the
-    # window path's deterministic survivor), offset into this
-    # micro-batch's id space
-    ranked, handle = dedup_assign_ids(cleaned, ["url", "warc_ts", "html"])
+    # first-occurrence dedup + dense batch-local url rank via the thin
+    # id pass + key-join attach (round 6): the batch's html is read once
+    # and never shuffled on the common path; exact-(url, warc_ts)
+    # duplicates fall back to the payload-sorted range pass whose
+    # (url, warc_ts, html) order is the deterministic-survivor contract
+    # (see operators/corpus.dedup_assign_ids_payload).  Ids offset into
+    # this micro-batch's id space as before.
+    ranked, handle = dedup_assign_ids_payload(cleaned)
     with_ids = ranked.withColumn(
         "doc_id", (F.col("doc_id") + F.lit(base)).cast("long"))
     tok = tokenize(with_ids, positions=maintain_positions).persist()
