@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType, StructField, StructType
 
-from ..text.extract import extract_text, extract_text_and_zones
+from ..text.extract import extract_text, extract_text_and_zones, extract_zones
 from ..text.normalize import doc_term_positions, doc_term_stats
 from ..text.porter import make_cached_stemmer
 
@@ -91,9 +91,16 @@ def make_extract_tokenize(passthrough: tuple = ("doc_id", "url"),
                     dls.append(0)
                     terms_col.append([])
                     continue
-                text, zones = extract_text_and_zones(h)
                 if emit_text:
+                    text, zones = extract_text_and_zones(h)
                     texts.append(text)
+                else:
+                    # round 6: the emit_text=False hot path (batch index
+                    # build, streaming) used extract_text_and_zones and
+                    # DISCARDED the text — a full extra tree traversal +
+                    # string join per document.  extract_zones parses
+                    # once and walks only the zone passes.
+                    zones = extract_zones(h)
                 if emit_positions:
                     stats = doc_term_positions(zones, stemmer)
                     dls.append(sum(tf for tf, _, _ in stats.values()))

@@ -15,14 +15,25 @@ from ..schemas import TOKENIZED, TOKENIZED_POS
 
 
 def tokenize(corpus_with_ids: DataFrame, positions: bool = False) -> DataFrame:
-    """(doc_id, url, html, ...) -> TOKENIZED (one row per doc, per-doc
-    aggregated term stats).  Column pruning: only doc_id/url/html cross
-    into Python.  positions=True emits TOKENIZED_POS (each term entry
-    also carries its kept-token ordinals) — tf/imp/dl are bit-identical
-    either way, so downstream postings/docs don't care which ran."""
+    """(doc_id, url, html, ...) -> TOKENIZED minus the ``text`` column
+    (one row per doc, per-doc aggregated term stats).  Column pruning:
+    only doc_id/url/html cross into Python.  positions=True emits the
+    TOKENIZED_POS shape (each term entry also carries its kept-token
+    ordinals) — tf/imp/dl are bit-identical either way, so downstream
+    postings/docs don't care which ran.
+
+    Round 6: the extracted full text is neither computed nor emitted —
+    no consumer of this path (builder tokenize stage, streaming
+    micro-batches, positional builds) reads it, and producing it cost a
+    full extra tree traversal + string join per document plus the Arrow
+    transfer and cache bytes of the page-sized strings (the north-rule
+    ``text`` invariant column is produced by ``extract_text_udf``
+    separately)."""
+    base = TOKENIZED_POS if positions else TOKENIZED
+    schema = StructType([f for f in base.fields if f.name != "text"])
     return corpus_with_ids.select("doc_id", "url", "html").mapInPandas(
-        make_extract_tokenize(emit_positions=positions),
-        schema=TOKENIZED_POS if positions else TOKENIZED,
+        make_extract_tokenize(emit_text=False, emit_positions=positions),
+        schema=schema,
     )
 
 
