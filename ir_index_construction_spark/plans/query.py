@@ -492,6 +492,12 @@ def suggest_candidates(dictionary: DataFrame, queries: list,
     the query's term count.  prefix_len=0 degrades to the unpruned
     (vocabulary-sized) scan, as in Lucene's prefixLength=0."""
     spark = dictionary.sparkSession
+    if not queries:
+        # public plan-layer function: an empty batch returns an empty
+        # candidate frame with the contract schema instead of raising
+        # IndexError on cands[0] (ADVICE r5)
+        return spark.createDataFrame(
+            [], "q string, term string, df bigint, dist int")
     by_pfx: dict = {}
     for t in queries:
         by_pfx.setdefault(t[:prefix_len], []).append(t)

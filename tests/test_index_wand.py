@@ -610,6 +610,18 @@ def test_suggest_terms_did_you_mean(built):
     assert again == {"machinx": "sentinel", "zzzzqq": None} and first
 
 
+def test_suggest_candidates_empty_batch(built):
+    """ADVICE r5: suggest_candidates is a public plan-layer function —
+    an empty batch returns an empty (q, term, df, dist) frame with the
+    same schema as the non-empty path, not IndexError on cands[0]."""
+    from ir_index_construction_spark.plans.query import suggest_candidates
+
+    empty = suggest_candidates(built.dictionary, [])
+    assert empty.count() == 0
+    nonempty = suggest_candidates(built.dictionary, ["machinx"])
+    assert empty.schema == nonempty.schema
+
+
 def test_more_like_this_excludes_seed_and_matches_manual(built, index_df):
     """mlt_terms = the seed doc's terms ranked tf*idf DESC, term ASC
     (recomputed manually from the postings/dictionary frames); the

@@ -233,3 +233,35 @@ def test_full_lifecycle_composes(spark, tmp_path):
     assert rdic2.count() == dic2.count()
     assert expand_wildcard(dic2, "*earn", rdictionary=rdic2) \
         == expand_wildcard(dic2, "*earn")
+
+def test_cli_guards_and_doc_meta_coverage_warning(spark):
+    """ADVICE r5 guards: --recency rejects degenerate half-lives at
+    parse time (0 would ZeroDivisionError inside recency_boosted_topk,
+    negative would invert decay into growth); doc_meta_coverage_warning
+    is silent on full coverage and loud on a strict-subset sidecar
+    (whose inner/semi joins would otherwise silently exclude docs)."""
+    import argparse
+
+    import pytest
+
+    spec = importlib.util.spec_from_file_location(
+        "submit_query_guards",
+        Path(__file__).resolve().parent.parent / "tools" / "submit_query.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    assert m._half_life("90") == 90.0
+    assert m._half_life("0.5") == 0.5
+    for bad in ("0", "-3", "nan"):
+        with pytest.raises(argparse.ArgumentTypeError):
+            m._half_life(bad)
+
+    meta = spark.createDataFrame(
+        [(0,), (1,), (2,)], "doc_id long")
+    assert m.doc_meta_coverage_warning(meta, 3) is None
+    warn = m.doc_meta_coverage_warning(meta, 5)
+    assert warn and "3 of 5" in warn
+    # duplicate sidecar rows must not mask a gap (distinct doc_ids)
+    dup = spark.createDataFrame(
+        [(0,), (0,), (1,), (1,), (2,), (2,)], "doc_id long")
+    assert "3 of 5" in m.doc_meta_coverage_warning(dup, 5)

@@ -61,6 +61,37 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def doc_meta_coverage_warning(doc_meta_df, n_docs) -> str | None:
+    """Coverage check for the crawl-metadata sidecar (ADVICE r5): a
+    legacy catalog can hold doc_meta rows for only a subset of docs
+    (batch-built before the sidecar existed, then extended by streaming
+    drains).  The metadata modes semi-join / inner-join on doc_meta, so
+    every metadata-less doc silently vanishes from --filter /
+    --facet-date / --recency results while plain queries still return
+    it.  One cheap count per snapshot refresh makes that gap loud.
+    Returns the warning text, or None when coverage is complete."""
+    n_meta = doc_meta_df.select("doc_id").distinct().count()
+    if n_meta >= n_docs:
+        return None
+    return (f"WARNING: doc_meta covers only {n_meta} of {n_docs} docs; "
+            "metadata queries (--filter/--facet-date/--recency) will "
+            "exclude the docs without metadata — reindex to backfill "
+            "the sidecar")
+
+
+def _half_life(v):
+    # a degenerate half-life must error, not ZeroDivisionError in
+    # recency_boosted_topk (0) or silently invert decay into growth,
+    # ranking stale docs UP (negative) — ADVICE r5, mirroring
+    # --collapse's _collapse_cap guard
+    import argparse
+    fv = float(v)
+    if not fv > 0:                       # also rejects NaN
+        raise argparse.ArgumentTypeError(
+            f"--recency HALF_LIFE_DAYS must be > 0 (got {v})")
+    return fv
+
+
 class QueryService:
     """Steady-state query service: loads stats/docs/dictionary/index
     frames ONCE per catalog snapshot (round-2 ADVICE: the REPL used to
@@ -104,6 +135,11 @@ class QueryService:
                       "doc_meta"):
                 if self.cat.table_exists(t):
                     self._f[t] = self.cat.read(self.spark, t)
+            if "doc_meta" in self._f:
+                warn = doc_meta_coverage_warning(self._f["doc_meta"],
+                                                 self._f["n_docs"])
+                if warn:
+                    print(warn, file=sys.stderr)
             # tombstoned doc_ids (plans/maintenance.py): bounded by
             # takedown volume, loaded once per snapshot, applied to
             # every query until a purge commits a new snapshot
@@ -616,7 +652,7 @@ def main():
                          "date_histogram); optional granularity, "
                          "default month")
     ap.add_argument("--recency", nargs="?", const=90.0, default=None,
-                    type=float, metavar="HALF_LIFE_DAYS",
+                    type=_half_life, metavar="HALF_LIFE_DAYS",
                     help="recency-decayed ranking: BM25 x "
                          "0.5^(age/half_life) over doc_meta.warc_ts "
                          "(Elasticsearch function_score date decay); "
